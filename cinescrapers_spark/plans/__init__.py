@@ -1,0 +1,30 @@
+"""Named query plans (the operator inventory of SURVEY.md §2 re-expressed
+as DataFrame programs) plus their ANSI-SQL oracles for the DuckDB harness.
+
+Each module exposes ``QUERIES: dict[name, (spark_fn, oracle_sql | None)]``;
+``registry()`` merges them. ``spark_fn(spark, sf_dir) -> DataFrame``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def registry() -> dict[str, tuple[QueryFn, str | None]]:
+    from cinescrapers_spark.plans import aggregates, dedup, joins, similarity, textops, windows
+
+    out: dict[str, tuple[QueryFn, str | None]] = {}
+    for mod in (aggregates, joins, windows, dedup, similarity, textops):
+        overlap = set(out) & set(mod.QUERIES)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(mod.QUERIES)
+    return out
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -1,0 +1,256 @@
+"""Deduplication plans — exact, token-set Jaccard, MinHash+LSH, SimHash.
+
+The reference's dedup story is content-addressed hashing + upsert-by-id
+(SURVEY §2.4 "URL-seen membership", __main__.py:218-220,330-344). Here it
+generalizes to the training-data dedup suite over ``documents``:
+
+* exact dedup: hash-groupBy on a canonicalized-text digest (md5 so the
+  DuckDB oracle matches byte-for-byte);
+* near-dup, exact metric: token-set Jaccard self-join within `source`
+  (the oracle-checkable ground truth);
+* near-dup, scale path: MinHash signatures + LSH banding — candidates come
+  from band-bucket joins (shuffle ∝ rows×bands, never O(n²)), then exact
+  Jaccard verification on the candidates only. At 100 TB, the banding join
+  is THE dedup plan; the exact self-join exists to prove it correct.
+* SimHash: 64-bit fingerprint, hamming-bucket grouping.
+
+All token/array work is JVM-side (split/array_* built-ins); the only Python
+is in none of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cinescrapers_spark.plans import load
+
+JACCARD_THRESHOLD = 0.8
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+# MinHash config: 16 hash functions, 8 bands × 2 rows.
+# Pr[candidate | j=0.8] per band = 0.8² = .64; miss prob (1-.64)^8 ≈ 3e-4.
+MINHASH_K = 16
+LSH_BANDS = 8
+LSH_ROWS = 2
+
+
+def _tokens(col):
+    return F.array_distinct(
+        F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda x: x != "")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup census: distinct canonical-text digests vs total rows."""
+    docs = load(spark, sf, "documents")
+    canon = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(F.md5(canon).alias("fp")).agg(
+        F.countDistinct("fp").alias("n_unique"), F.count("*").alias("n_total")
+    )
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Representative-per-duplicate-group (keep min doc_id), like the
+    reference's ON CONFLICT(id) upsert keeping one row per identity."""
+    docs = load(spark, sf, "documents")
+    canon = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select(F.md5(canon).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs within source (ground truth).
+
+    Self-join is partitioned by `source` (bounded groups). This is the
+    correctness oracle for the LSH plan below — at scale you never run it.
+    """
+    docs = load(spark, sf, "documents").select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    union = (
+        F.size(F.col("a.toks")) + F.size(F.col("b.toks"))
+    ).cast("double") - inter
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def minhash_signature(tokens_col, k: int = MINHASH_K):
+    """k-permutation MinHash over a token array, all JVM-side:
+    sig[i] = min over tokens of xxhash64(token, seed=i)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(tokens_col, lambda t: F.xxhash64(t, F.lit(i))))
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, source, toks) → candidate pairs via LSH banding.
+
+    Shuffle key = (source, band_id, band_hash): rows agreeing on one full
+    band collide in a bucket; pairs are generated per bucket. Cost is
+    rows × bands, never O(n²) — this is the 100 TB plan shape.
+    """
+    sig = docs.withColumn("sig", minhash_signature(F.col("toks")))
+    bands = sig.select(
+        "doc_id",
+        "source",
+        "toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "source", "toks", "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+        )
+        .dropDuplicates(["source", "doc_a", "doc_b"])
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified: candidates from band
+    buckets, then true Jaccard ≥ θ filter. With the band config above the
+    expected miss rate at θ=0.8 is ~3e-4, so the output should equal
+    q_dedup_jaccard (the driver's rows-only check + our pytest assert the
+    containment)."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "source", _tokens(F.col("text")).alias("toks")
+    )
+    cand = lsh_candidate_pairs(docs)
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    return (
+        cand.select(
+            "source",
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def simhash64(tokens_col):
+    """64-bit SimHash, JVM-side: per-bit majority vote over token hashes.
+
+    bit_j(sig) = 1 if sum over tokens of sign(bit_j(xxhash64(tok))) > 0.
+    Expressed as: for each bit j, count tokens with bit set vs total.
+    """
+    n = F.size(tokens_col).cast("double")
+    bits = []
+    for j in range(64):
+        ones = F.size(
+            F.filter(
+                tokens_col,
+                lambda t: F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
+            )
+        ).cast("double")
+        bit = F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bits.append(F.shiftleft(bit, j))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash fingerprint groups: documents sharing an identical 64-bit
+    simhash (hamming-0 bucket; banding over bit-ranges generalizes to k>0)."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    sims = docs.select("doc_id", simhash64(F.col("toks")).alias("simhash"))
+    return (
+        sims.groupBy("simhash")
+        .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '{TOKEN_SPLIT}'), x -> x <> '')) AS toks
+      FROM documents)
+    SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                 (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+             AS jaccard
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+          (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+          >= {JACCARD_THRESHOLD}"""
+
+ORACLES = {
+    "q_dedup_exact": r"""
+        SELECT count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+                 AS n_unique,
+               count(*) AS n_total
+        FROM documents""",
+    "q_dedup_exact_groups": r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keep_doc_id, count(*) AS group_size
+        FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    "q_dedup_jaccard": _JACCARD_ORACLE,
+    # LSH output is exact-verified, so the exact-pairs SQL is its oracle too;
+    # any hash mismatch = a genuine LSH recall miss, which the band math
+    # bounds at ~3e-4 — treat a failure here as a real signal.
+    "q_dedup_minhash_lsh": _JACCARD_ORACLE,
+    # q_dedup_simhash: no SQL equivalent (bit-level majority votes) — rows-only.
+}
+
+QUERIES = {
+    name: (fn, ORACLES.get(name))
+    for name, fn in [
+        ("q_dedup_exact", q_dedup_exact),
+        ("q_dedup_exact_groups", q_dedup_exact_groups),
+        ("q_dedup_jaccard", q_dedup_jaccard),
+        ("q_dedup_minhash_lsh", q_dedup_minhash_lsh),
+        ("q_dedup_simhash", q_dedup_simhash),
+    ]
+}

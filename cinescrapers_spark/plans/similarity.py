@@ -1,0 +1,245 @@
+"""Similarity-search plans over the ``embeddings`` table (array<float>).
+
+Generalizes the reference's cosine-similarity matching
+(``/root/reference/src/cinescrapers/film_identification.py:116-158``) into
+the ANN suite a training-data pipeline needs:
+
+* brute-force cosine top-k (baseline; exact; broadcast the query side);
+* LSH-bucketed ANN (random hyperplanes; scale path — candidates come from
+  signature-bucket joins, recall measured against brute force in pytest);
+* vector norms / pairwise label-centroid ops as oracle-checkable array math.
+
+Vectors are cast to double BEFORE any arithmetic so Spark's left-fold and
+DuckDB's list kernels see identical IEEE sequences (bit-stable oracles).
+All array math is JVM-side (`transform`/`aggregate`/`zip_with`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cinescrapers_spark.plans import load
+
+TOPK = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors; the rest are candidates
+LSH_PLANES = 12
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine(a, b):
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def q_embed_norms(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    v = _as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(l2norm(v), 4).alias("l2"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan shape for scale: the small query side is broadcast; the candidate
+    scan is embarrassingly parallel; per-query top-k via window over the
+    (tiny) q_id partitions. At 10^10 candidates this plan still holds —
+    the only shuffle is the final top-k, which AQE keeps proportional to
+    k × queries.
+    """
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), _as_double(F.col("embedding")).alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "q_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("cos_raw")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+def hyperplane_signature(vec_col, dim: int, planes: int = LSH_PLANES):
+    """Random-hyperplane LSH signature: bit_p = sign(v · h_p), with h_p a
+    deterministic pseudo-random ±1 vector derived from xxhash64(p, i).
+    All JVM-side; no stored model."""
+    bits = []
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x
+                * F.when(
+                    F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bits.append(F.shiftleft(bit, p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates share a hyperplane-signature bucket with
+    the query; exact cosine re-rank inside buckets. Recall < 1 by design —
+    pytest measures it against q_ann_bruteforce; no SQL oracle."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    sig = emb.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("emb"),
+        hyperplane_signature(_as_double(F.col("embedding")), dim).alias("sig"),
+    )
+    # band the signature: 4 bands × 3 bits; a candidate is considered if ANY
+    # band matches the query's band (OR-of-ANDs LSH amplification)
+    n_bands, band_bits = 4, LSH_PLANES // 4
+    mask = (1 << band_bits) - 1
+
+    def banded(df):
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.shiftright(F.col("sig"), b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(df.columns + [F.col("band.band_id"), F.col("band.band_val")])
+
+    q = banded(
+        sig.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), "sig"
+        )
+    ).select("q_id", "q_emb", "band_id", "band_val")
+    c = banded(sig.filter(F.col("vec_id") >= N_QUERIES)).select(
+        "vec_id", "emb", "band_id", "band_val"
+    )
+    scored = (
+        c.join(F.broadcast(q), ["band_id", "band_val"])
+        .select("q_id", "vec_id", "emb", "q_emb")
+        .dropDuplicates(["q_id", "vec_id"])
+        .select("q_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("cos_raw"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+def q_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label mean-vector norm — grouped array aggregation via
+    element-wise zip_with fold (the embedding-rollup pattern)."""
+    emb = load(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    v = _as_double(F.col("embedding"))
+    # sum vectors per label: aggregate over collected element columns —
+    # element-wise mean via posexplode keeps it relational (no UDF)
+    exploded = emb.select("label", F.posexplode(v).alias("pos", "x"))
+    means = exploded.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_l2"))
+    )
+
+
+# --- piecewise threshold rescale + blend (the reference's match-score
+#     formula, film_identification.py:160-187, as pure column expr) ----------
+def q_piecewise_score(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    s = F.col("value") / 500.0  # pseudo-similarity in [0,1]
+    text_part = F.when(s > 0.2, (s - 0.2) / 0.8).otherwise(0.0)
+    img_part = F.when(s > 0.65, (s - 0.65) / 0.35).otherwise(0.0)
+    bonus = F.when(F.col("event_type") == "purchase", 0.05).otherwise(0.0)
+    return ev.select(
+        "event_id",
+        F.round((text_part + img_part + bonus) / 2.05, 6).alias("match_score"),
+    )
+
+
+ORACLES = {
+    "q_embed_norms": """
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x))), 4) AS l2,
+               CAST(len(embedding) AS INT) AS dim
+        FROM embeddings""",
+    "q_ann_bruteforce": f"""
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id >= {N_QUERIES})
+        SELECT q_id, vec_id,
+               round(list_cosine_similarity(e, qe), 4) AS cosine
+        FROM c CROSS JOIN q
+        QUALIFY row_number() OVER (
+          PARTITION BY q_id
+          ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC) <= {TOPK}""",
+    "q_label_centroid_sim": """
+        WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             p AS (SELECT label, t.pos AS pos, v[t.pos] AS x
+                   FROM e, LATERAL unnest(generate_series(1, len(v))) AS t(pos))
+        SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_l2
+        FROM (SELECT label, pos, avg(x) AS m FROM p GROUP BY label, pos)
+        GROUP BY label""",
+    "q_piecewise_score": """
+        SELECT event_id,
+               round((
+                 CASE WHEN value/500.0 > 0.2 THEN (value/500.0 - 0.2)/0.8 ELSE 0.0 END
+               + CASE WHEN value/500.0 > 0.65 THEN (value/500.0 - 0.65)/0.35 ELSE 0.0 END
+               + CASE WHEN event_type = 'purchase' THEN 0.05 ELSE 0.0 END
+               ) / 2.05, 6) AS match_score
+        FROM events""",
+    # q_ann_lsh: recall<1 by design — rows-only check; pytest measures recall.
+}
+
+QUERIES = {
+    name: (fn, ORACLES.get(name))
+    for name, fn in [
+        ("q_embed_norms", q_embed_norms),
+        ("q_ann_bruteforce", q_ann_bruteforce),
+        ("q_ann_lsh", q_ann_lsh),
+        ("q_label_centroid_sim", q_label_centroid_sim),
+        ("q_piecewise_score", q_piecewise_score),
+    ]
+}

@@ -1,0 +1,167 @@
+"""Image-pipeline tests: codec roundtrip + PSNR invariant (input_hint:
+decoded-pixel allclose, PSNR ≥ 40 dB lossy; caption exact equality),
+thumbnail shape invariant (ref tests/thumbnails/test_thumbnailing.py:19),
+phash locality, embedder determinism — plus the Spark-side stages."""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cinescrapers_spark.images.codecs import (
+    decode_image,
+    decode_ppm,
+    decode_qimg,
+    encode_ppm,
+    encode_qimg,
+    psnr,
+    sniff_format,
+)
+from cinescrapers_spark.images.ops import (
+    detect_centre,
+    embed_image,
+    embed_text,
+    phash64,
+    smart_square_thumbnail,
+)
+from cinescrapers_spark.images.table import generate_images_pdf, images_df, make_pixels
+
+
+def _img(w=96, h=64, seed=3):
+    return make_pixels(random.Random(seed), w, h)
+
+
+def test_ppm_roundtrip_lossless():
+    arr = _img()
+    assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+
+
+def test_qimg_lossy_psnr_over_40db():
+    for seed in range(5):
+        arr = _img(128, 96, seed)
+        dec = decode_qimg(encode_qimg(arr))
+        assert dec.shape == arr.shape
+        p = psnr(arr, dec)
+        assert p >= 40.0, f"PSNR {p:.1f} < 40 dB"
+        assert np.allclose(arr, dec, atol=4)  # quantization bound
+
+
+def test_sniff_format():
+    arr = _img(16, 16)
+    assert sniff_format(encode_ppm(arr)) == "ppm"
+    assert sniff_format(encode_qimg(arr)) == "qimg"
+    assert sniff_format(b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert sniff_format(b"\x89PNG\r\n\x1a\nrest") == "png"
+    assert sniff_format(b"RIFF....WEBPVP8 ") == "webp"
+    assert sniff_format(b"RIFF....WAVE") is None  # RIFF but not WEBP (ref special case)
+    assert sniff_format(b"garbage") is None
+
+
+def test_thumbnail_shape_invariant():
+    for w, h in [(96, 64), (64, 96), (150, 150), (256, 64)]:
+        arr = _img(w, h, seed=w * h)
+        for size in (32, 64):
+            thumb, method = smart_square_thumbnail(arr, size)
+            assert thumb.shape == (size, size, 3)
+            assert method in ("detector", "centre")
+
+
+def test_detector_finds_bright_block():
+    arr = np.zeros((64, 64, 3), dtype=np.uint8) + 20
+    arr[40:48, 16:24] = 255
+    c = detect_centre(arr)
+    assert c is not None
+    cx, cy = c
+    assert abs(cx - 20) <= 8 and abs(cy - 44) <= 8
+
+
+def test_phash_locality():
+    arr = _img(128, 128, seed=9)
+    h1 = phash64(arr)
+    # tiny perturbation → small hamming distance
+    arr2 = arr.copy()
+    arr2[:4, :4] = 255 - arr2[:4, :4]
+    h2 = phash64(arr2)
+    ham_close = bin((h1 ^ h2) & (2**64 - 1)).count("1")
+    # different image → large distance
+    h3 = phash64(_img(128, 128, seed=10))
+    ham_far = bin((h1 ^ h3) & (2**64 - 1)).count("1")
+    assert ham_close <= 10
+    assert ham_far > ham_close
+
+
+def test_embedders_deterministic_unit_norm():
+    arr = _img(64, 64, seed=1)
+    v1, v2 = embed_image(arr), embed_image(arr)
+    assert np.array_equal(v1, v2)
+    assert abs(np.linalg.norm(v1) - 1.0) < 1e-5
+    t1, t2 = embed_text("Barry Lyndon"), embed_text("Barry Lyndon")
+    assert np.array_equal(t1, t2)
+    assert abs(np.linalg.norm(t1) - 1.0) < 1e-5
+
+
+def test_generator_pixels_roundtrip_and_caption_equality():
+    pdf = generate_images_pdf(n=30, seed=42)
+    for _, row in pdf.iterrows():
+        dec = decode_image(bytes(row["bytes"]), row["fmt"])
+        truth = row["_pixels"]
+        assert dec.shape == truth.shape == (row["h"], row["w"], 3)
+        if row["fmt"] == "ppm":
+            assert np.array_equal(dec, truth)
+        else:
+            assert psnr(truth, dec) >= 40.0
+        assert isinstance(row["caption"], str) and row["caption"]
+        assert phash64(truth) == row["phash"]
+
+
+def test_spark_image_stages(spark):
+    from cinescrapers_spark.images.ops import (
+        embed_image_udf,
+        phash_udf,
+        thumbnail_udf,
+    )
+
+    df = images_df(spark, n=40, seed=42)
+    out = df.select(
+        "image_id",
+        "caption",
+        "phash",
+        phash_udf(F.col("bytes"), F.col("fmt")).alias("phash2"),
+        thumbnail_udf(F.col("bytes"), F.col("fmt")).alias("thumb"),
+        embed_image_udf(F.col("bytes"), F.col("fmt")).alias("emb"),
+    ).collect()
+    assert len(out) == 40
+    for r in out:
+        # phash recomputed on the Spark side: exact for ppm, small hamming
+        # drift allowed for the lossy decode
+        ham = bin((r.phash ^ r.phash2) & (2**64 - 1)).count("1")
+        assert ham <= 6, f"phash drift {ham}"
+        assert r.thumb[:2] == b"P6"
+        thumb = decode_ppm(bytes(r.thumb))
+        assert thumb.shape == (64, 64, 3)
+        assert len(r.emb) == 64
+        assert abs(float(np.linalg.norm(r.emb)) - 1.0) < 1e-4
+
+
+def test_phash_neardup_join(spark):
+    """phash near-dup: qimg vs ppm encodings of the SAME pixels must land
+    within hamming ≤ 6 — the bit_count(a^b) self-join predicate."""
+    import pandas as pd
+
+    from cinescrapers_spark.images.codecs import encode_ppm, encode_qimg
+    from cinescrapers_spark.images.ops import phash_udf
+
+    rows = []
+    for i in range(10):
+        arr = _img(96, 96, seed=100 + i)
+        rows.append({"pair_id": i, "fmt": "ppm", "bytes": encode_ppm(arr)})
+        rows.append({"pair_id": i, "fmt": "qimg", "bytes": encode_qimg(arr)})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    ph = df.select("pair_id", "fmt", phash_udf(F.col("bytes"), F.col("fmt")).alias("ph"))
+    a = ph.filter(F.col("fmt") == "ppm").select("pair_id", F.col("ph").alias("ph_a"))
+    b = ph.filter(F.col("fmt") == "qimg").select("pair_id", F.col("ph").alias("ph_b"))
+    joined = a.join(b, "pair_id").select(
+        "pair_id", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("ham")
+    )
+    assert joined.filter(F.col("ham") <= 6).count() == 10

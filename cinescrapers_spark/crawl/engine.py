@@ -28,7 +28,7 @@ from cinescrapers_spark.crawl.frontier import (
 from cinescrapers_spark.crawl.seen import SeenSet
 from cinescrapers_spark.crawl.snapshots import SnapshotTable
 from cinescrapers_spark.schemas import FRONTIER
-from cinescrapers_spark.sources.pages import fetch_ok_udf, page_outlinks_udf
+from cinescrapers_spark.sources.pages import fetch_parse_expand_udf
 
 
 class CrawlEngine:
@@ -41,6 +41,7 @@ class CrawlEngine:
         n_salts: int = DEFAULT_SALTS,
         tick_seconds: float = 60.0,
         max_per_tick: int = 25,
+        light_metrics: bool = False,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -48,6 +49,9 @@ class CrawlEngine:
         self.n_salts = n_salts
         self.tick_seconds = tick_seconds
         self.max_per_tick = max_per_tick
+        # light_metrics drops the discovered-count job from the hot path
+        # (bench mode); full mode keeps the exact dedup_dropped metric
+        self.light_metrics = light_metrics
         self.frontier_table = SnapshotTable(os.path.join(workdir, "frontier"))
         self.seen = SeenSet(
             SnapshotTable(os.path.join(workdir, "seen_shards")), num_shards=num_shards
@@ -64,7 +68,7 @@ class CrawlEngine:
         frontier = frontier.cache()
         n = frontier.count()
         self.seen.add(frontier.select("url_hash"), tick=0)
-        self.frontier_table.commit(frontier, tick=0, metrics={"seeded": n})
+        self.frontier_table.commit(frontier, tick=0, metrics={"seeded": n}, row_count=n)
         frontier.unpersist()
         return {"tick": 0, "seeded": n}
 
@@ -79,32 +83,62 @@ class CrawlEngine:
         t0 = time.time()
         frontier = self.frontier_table.read(self.spark)
 
-        # 1. politeness-scheduled fetch set (deterministic top-budget per host)
+        # 1. politeness-scheduled fetch set (deterministic top-budget per
+        #    host) + "fetch" outcome in one cached pass; scheduled and
+        #    failed counts come from a single aggregate job
         sched = schedule_tick(
             frontier, t, tick_seconds=self.tick_seconds, max_per_tick=self.max_per_tick
-        ).cache()
-        n_sched = sched.count()
-
-        # 2. "fetch" + expand: outlinks of ok pages (Arrow-batched UDF)
-        fetched = sched.withColumn("__ok", fetch_ok_udf(F.col("url_norm"))).cache()
-        discovered = (
-            fetched.filter(F.col("__ok"))
-            .select(F.explode(page_outlinks_udf(F.col("url_norm"))).alias("url"))
         )
-        n_fail = fetched.filter(~F.col("__ok")).count()
+        # 2. fetch + parse + expand in ONE fused Arrow kernel per row:
+        #    resolve → body → field parse → canonical outlinks
+        fetched = (
+            sched.withColumn("__f", fetch_parse_expand_udf(F.col("url_norm")))
+            .select(
+                "url_hash",
+                F.col("__f.ok").alias("__ok"),
+                F.col("__f.outlinks").alias("__outlinks"),
+                F.col("__f.n_items").alias("__n_items"),
+            )
+            .cache()
+        )
+        agg = fetched.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("nf"),
+            F.sum("__n_items").alias("ni"),
+            F.sum(F.size("__outlinks")).alias("nl"),
+        ).first()
+        n_sched, n_fail = int(agg["n"]), int(agg["nf"] or 0)
+        n_items = int(agg["ni"] or 0)
+        n_links = int(agg["nl"] or 0)  # raw discovered links (pre-dedup)
 
-        # 3. canonicalize + frontier-shape the discoveries, then seen-filter.
-        #    init_frontier dedups within the batch; the SeenSet kills
-        #    everything already known from prior ticks.
+        discovered = fetched.select(F.explode("__outlinks").alias("url"))
+
+        # 3. frontier-shape the discoveries, then seen-filter. init_frontier
+        #    dedups within the batch; the SeenSet kills everything already
+        #    known from prior ticks. new_rows is cached: it feeds both the
+        #    discovered-count and the seen probe.
         new_rows = init_frontier(
-            self.spark, discovered, self.hosts, tick=t, n_salts=self.n_salts
+            self.spark,
+            discovered,
+            self.hosts,
+            tick=t,
+            n_salts=self.n_salts,
+            already_canonical=True,
         )
-        unseen = self.seen.filter_unseen(new_rows, hash_col="url_hash").cache()
-        n_discovered = new_rows.count()
-        n_new = unseen.count()
+        if not self.light_metrics:
+            new_rows = new_rows.cache()
+            n_discovered = new_rows.count()
+        else:
+            n_discovered = n_links  # raw link count stands in (no extra job)
 
-        # 4. register the new URLs as seen (commits a seen-shard snapshot)
-        self.seen.add(unseen.select("url_hash"), tick=t)
+        # 4. fused seen probe + insert: one cogroup shuffle yields both the
+        #    unseen rows and the updated shard blobs; the shard-snapshot
+        #    write materializes it, and n_new comes from parquet footers
+        #    (driver-side) instead of a count job
+        prev_total = self.seen.total_keys(self.spark)
+        unseen, new_shards, fused = self.seen.probe_and_add(new_rows, tick=t)
+        total = self.seen.commit_shards(new_shards, tick=t)
+        n_new = total - prev_total
 
         # 5. fold fetch results back into the frontier + append new rows
         marks = fetched.select(
@@ -142,18 +176,26 @@ class CrawlEngine:
             "tick": t,
             "scheduled": n_sched,
             "fetch_failed": n_fail,
+            "parsed_items": n_items,
+            "raw_links": n_links,
             "discovered": n_discovered,
             "new_unseen": n_new,
             "dedup_dropped": n_discovered - n_new,
-            "sched_and_dedup_urls": n_sched + n_discovered,
+            "sched_and_dedup_urls": n_sched + n_links,
             "wall_sec": round(wall, 3),
         }
-        self.frontier_table.commit(next_frontier, tick=t, metrics=metrics)
+        # frontier rows are never deleted → next count is prev + n_new;
+        # avoids a read-back count per commit
+        prev_count = self.frontier_table.latest()["row_count"]
+        self.frontier_table.commit(
+            next_frontier, tick=t, metrics=metrics, row_count=prev_count + n_new
+        )
+        metrics["wall_sec"] = round(time.time() - t0, 3)
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(metrics) + "\n")
-        sched.unpersist()
         fetched.unpersist()
-        unseen.unpersist()
+        new_rows.unpersist()
+        fused.unpersist()
         return metrics
 
     def run(self, n_ticks: int) -> list[dict]:

@@ -42,16 +42,17 @@ def synthetic_seed_urls(
     n_urls: int,
     seed: int = 42,
     mega_host_frac: float = 0.5,
-    n_paths_per_host: int | None = None,
+    n_extra_hosts: int = 0,
 ) -> list[dict]:
-    """Deterministic raw seed URLs over the 27 cinema hosts + one synthetic
-    mega-domain taking ``mega_host_frac`` of all URLs (skew fixture).
-    Raw forms include uppercase hosts, tracking params, scheme-relative and
-    duplicate variants — canonicalizer fodder."""
+    """Deterministic raw seed URLs over the 27 cinema hosts (+ optional
+    synthetic hosts for web-scale-shaped benches) + one mega-domain taking
+    ``mega_host_frac`` of all URLs (skew fixture). Raw forms include
+    uppercase hosts, tracking params, scheme-relative and duplicate
+    variants — canonicalizer fodder."""
     from cinescrapers_spark.dims import seed_hosts
 
     rng = random.Random(seed)
-    hosts = seed_hosts()
+    hosts = seed_hosts() + [f"host-{i}.example.com" for i in range(n_extra_hosts)]
     mega = "megacinema.example.com"
     rows = []
     for i in range(n_urls):
@@ -79,14 +80,22 @@ def init_frontier(
     tick: int = 0,
     n_salts: int = DEFAULT_SALTS,
     base_url: str | None = None,
+    already_canonical: bool = False,
 ) -> DataFrame:
     """raw urls(url [,discovered_tick]) → canonical frontier rows (dedup by
-    url_norm keeping the lexicographically-first raw form)."""
+    url_norm keeping the lexicographically-first raw form).
+
+    ``already_canonical=True`` skips the canonicalizer UDF for inputs that
+    come out of a fused kernel (page_outlinks_canon_udf) — one less Python
+    eval stage on the per-tick hot path."""
     from cinescrapers_spark.functions.urls import canonicalize_url_udf, url_host
 
-    canon = raw_urls.withColumn(
-        "url_norm", canonicalize_url_udf(F.col("url"), F.lit(base_url))
-    ).filter(F.col("url_norm").isNotNull())
+    if already_canonical:
+        canon = raw_urls.withColumn("url_norm", F.col("url"))
+    else:
+        canon = raw_urls.withColumn(
+            "url_norm", canonicalize_url_udf(F.col("url"), F.lit(base_url))
+        ).filter(F.col("url_norm").isNotNull())
     # one frontier row per canonical URL; keep min(url) as the raw exemplar
     tick_col = (
         F.min("discovered_tick") if "discovered_tick" in raw_urls.columns else F.lit(tick)

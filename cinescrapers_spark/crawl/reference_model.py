@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 from cinescrapers_spark.crawl.frontier import STALENESS_TICKS
 from cinescrapers_spark.functions.urls import canonicalize_url_py
-from cinescrapers_spark.sources.pages import fetch_ok, page_outlinks
+from cinescrapers_spark.sources.pages import fetch_and_parse
 
 
 def xxhash64_spark(s: str) -> int:
@@ -163,9 +163,10 @@ class ReferenceCrawl:
         discovered: list[str] = []
         n_fail = 0
         for r in scheduled:
-            if fetch_ok(r.url_norm):
+            ok, links, _n_items = fetch_and_parse(r.url_norm)
+            if ok:
                 r.state = "fetched"
-                discovered.extend(page_outlinks(r.url_norm))
+                discovered.extend(links)
             else:
                 r.state = "failed"
                 r.retries += 1

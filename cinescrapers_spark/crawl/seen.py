@@ -27,6 +27,9 @@ frontier.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 import struct
 
 import numpy as np
@@ -202,11 +205,122 @@ class SeenSet:
             .cogroup(shards.groupBy("shard_id"))
             .applyInPandas(merge, schema=SHARD_SCHEMA)
         )
-        # untouched shards must carry over: cogroup covers them (empty cdf side)
-        n_new = merged.agg(F.sum("n_keys")).first()[0] or 0
-        self.table.commit(merged, tick=tick, metrics={"total_keys": int(n_new)})
+        # untouched shards carry over via the cogroup (empty add side);
+        # single write job; row_count=-1 = "not recounted" (≤P by
+        # construction — a read-back count would double the shuffle)
+        self.table.commit(merged, tick=tick, row_count=-1)
+
+    # -- fused probe+insert -----------------------------------------------------
+    def probe_and_add(self, candidates: DataFrame, tick: int, hash_col: str = "url_hash"):
+        """ONE cogroup pass: filter candidates against the shard state AND
+        merge the unseen hashes into it. Output is a tagged union —
+        one 'shard' row per group plus the unseen candidate rows — split by
+        the caller. Halves the candidate shuffle vs probe-then-add and
+        drops a barrier from the tick.
+
+        Returns (unseen_df, shards_df, n_new): unseen_df/shards_df are two
+        filters over one CACHED cogroup output; call ``commit_shards`` with
+        shards_df to persist, then read n_new cheaply from the manifest.
+        """
+        spark = candidates.sparkSession
+        shards = self._shards_df(spark)
+        cand = candidates.withColumn("__shard", self.shard_col(F.col(hash_col)))
+        cand_fields = [f"`{c}`" for c in candidates.columns]
+        out_schema = (
+            "__kind string, shard_id int, data binary, n_keys long, "
+            + ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+            )
+        )
+        bloom_bytes = self.bloom_bytes
+        cand_cols = list(candidates.columns)
+        hname = hash_col
+
+        def fused(key, cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+            shard_id = int(key[0])
+            if len(sdf):
+                keys, bloom = decode_shard(sdf["data"].iloc[0])
+            else:
+                keys = np.empty(0, dtype=np.uint64)
+                bloom = np.zeros(bloom_bytes, dtype=np.uint8)
+            if len(cdf):
+                cdf = cdf.drop(columns=["__shard"])
+                h = cdf[hname].to_numpy().astype(np.uint64)
+                maybe = bloom_maybe(bloom, h) if len(bloom) else np.ones(len(h), bool)
+                seen = np.zeros(len(h), dtype=bool)
+                if maybe.any() and len(keys):
+                    idx = np.searchsorted(keys, h[maybe])
+                    idx = np.clip(idx, 0, len(keys) - 1)
+                    seen[maybe] = keys[idx] == h[maybe]
+                fresh_rows = cdf[~seen]
+                fresh = np.unique(h[~seen])
+                if len(fresh):
+                    keys = np.sort(np.concatenate([keys, fresh]))
+                    bloom_add(bloom, fresh)
+            else:
+                fresh_rows = cdf.iloc[0:0].drop(columns=["__shard"], errors="ignore")
+            shard_row = pd.DataFrame(
+                {
+                    "__kind": ["shard"],
+                    "shard_id": [shard_id],
+                    "data": [encode_shard(keys, bloom)],
+                    "n_keys": [len(keys)],
+                    **{c: [None] for c in cand_cols},
+                }
+            )
+            if len(fresh_rows):
+                url_rows = fresh_rows.copy()
+                url_rows["__kind"] = "url"
+                url_rows["shard_id"] = None
+                url_rows["data"] = None
+                url_rows["n_keys"] = None
+                return pd.concat([shard_row, url_rows], ignore_index=True)[
+                    ["__kind", "shard_id", "data", "n_keys"] + cand_cols
+                ]
+            return shard_row[["__kind", "shard_id", "data", "n_keys"] + cand_cols]
+
+        fused_out = (
+            cand.groupBy("__shard")
+            .cogroup(shards.groupBy("shard_id"))
+            .applyInPandas(fused, schema=out_schema)
+            .cache()
+        )
+        unseen = fused_out.filter(F.col("__kind") == "url").select(*cand_fields)
+        new_shards = fused_out.filter(F.col("__kind") == "shard").select(
+            "shard_id", "data", "n_keys"
+        )
+        return unseen, new_shards, fused_out
+
+    def commit_shards(self, new_shards: DataFrame, tick: int) -> int:
+        """Write the shard snapshot; return the total key count (summed
+        driver-side from the written parquet footers — no Spark job)."""
+        info = self.table.commit(new_shards, tick=tick, row_count=-1)
+        total = self._sum_keys_from_snapshot(info.snapshot_id)
+        # stash the running total in the manifest for cheap n_new deltas
+        entries = self.table.manifest()
+        entries[-1]["metrics"]["total_keys"] = total
+        tmp = self.table._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1, default=str)
+        os.replace(tmp, self.table._manifest_path())
+        return total
+
+    def _sum_keys_from_snapshot(self, snapshot_id: int) -> int:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in glob.glob(
+            os.path.join(self.table.snapshot_dir(snapshot_id), "**", "*.parquet"),
+            recursive=True,
+        ):
+            t = pq.read_table(f, columns=["n_keys"])
+            total += int(t.column("n_keys").to_pandas().sum() or 0)
+        return total
 
     def total_keys(self, spark: SparkSession) -> int:
-        if self.table.latest() is None:
+        latest = self.table.latest()
+        if latest is None:
             return 0
+        if "total_keys" in latest.get("metrics", {}):
+            return int(latest["metrics"]["total_keys"])
         return self._shards_df(spark).agg(F.sum("n_keys")).first()[0] or 0

@@ -66,9 +66,13 @@ class SnapshotTable:
         tick: int,
         metrics: dict | None = None,
         partition_by: list[str] | None = None,
+        row_count: int | None = None,
     ) -> SnapshotInfo:
         """Write df as the next snapshot (atomic via tmp-dir rename) and
-        append manifest entry with per-partition lineage."""
+        append manifest entry with per-partition lineage.
+
+        Pass ``row_count`` when the caller already knows it — the read-back
+        count is an extra Spark job per commit (measured tick overhead)."""
         prev = self.latest()
         sid = (prev["snapshot_id"] + 1) if prev else 0
         final = self.snapshot_dir(sid)
@@ -80,14 +84,21 @@ class SnapshotTable:
         writer.parquet(tmp)
         os.rename(tmp, final)
 
-        # per-partition lineage: file-level row/byte counts from the footer
-        spark = df.sparkSession
-        files = spark.read.parquet(final).inputFiles()
-        lineage = [
-            {"file": os.path.relpath(f.replace("file:", ""), self.path)}
-            for f in sorted(files)
-        ]
-        row_count = spark.read.parquet(final).count()
+        # per-partition lineage: the files this snapshot is made of, plus
+        # their on-disk sizes (footer stats carry row counts per file)
+        lineage = []
+        for root, _dirs, files in os.walk(final):
+            for fname in sorted(files):
+                if fname.endswith(".parquet"):
+                    p = os.path.join(root, fname)
+                    lineage.append(
+                        {
+                            "file": os.path.relpath(p, self.path),
+                            "bytes": os.path.getsize(p),
+                        }
+                    )
+        if row_count is None:
+            row_count = df.sparkSession.read.parquet(final).count()
         info = SnapshotInfo(
             snapshot_id=sid,
             parent_id=prev["snapshot_id"] if prev else None,

@@ -15,10 +15,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
-    from cinescrapers_spark.plans import aggregates, dedup, joins, similarity, textops, windows
+    from cinescrapers_spark.plans import (
+        aggregates,
+        dedup,
+        images_plans,
+        joins,
+        similarity,
+        textops,
+        windows,
+    )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (aggregates, joins, windows, dedup, similarity, textops):
+    for mod in (aggregates, joins, windows, dedup, similarity, textops, images_plans):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

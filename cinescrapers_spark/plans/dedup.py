@@ -105,17 +105,21 @@ def minhash_signature(tokens_col, k: int = MINHASH_K):
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """documents(doc_id, source, toks) → candidate pairs via LSH banding.
+    """documents(doc_id, source, toks) → candidate id-pairs via LSH banding.
 
     Shuffle key = (source, band_id, band_hash): rows agreeing on one full
     band collide in a bucket; pairs are generated per bucket. Cost is
     rows × bands, never O(n²) — this is the 100 TB plan shape.
+
+    Only (doc_id, band) rows travel through the band shuffle and the pair
+    dedup — token arrays stay home and are re-joined by the verifier
+    (shipping arrays through an 8× explode was a measured 50× slowdown at
+    sf0.1).
     """
     sig = docs.withColumn("sig", minhash_signature(F.col("toks")))
     bands = sig.select(
         "doc_id",
         "source",
-        "toks",
         F.explode(
             F.array(
                 *[
@@ -129,7 +133,7 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "source", "toks", "band.band_id", "band.band_hash")
+    ).select("doc_id", "source", "band.band_id", "band.band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -144,8 +148,6 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             F.col("a.source").alias("source"),
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("toks_a"),
-            F.col("b.toks").alias("toks_b"),
         )
         .dropDuplicates(["source", "doc_a", "doc_b"])
     )
@@ -161,10 +163,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "source", _tokens(F.col("text")).alias("toks")
     )
     cand = lsh_candidate_pairs(docs)
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    pairs = cand.join(ta, "doc_a").join(tb, "doc_b")
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("double")
     union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
     return (
-        cand.select(
+        pairs.select(
             "source",
             "doc_a",
             "doc_b",

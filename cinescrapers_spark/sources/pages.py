@@ -12,6 +12,7 @@ reference model, so crawl-equivalence tests compare semantics, not RNG.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pandas as pd
 
@@ -20,6 +21,8 @@ from cinescrapers_spark.functions.udf import lazy_pandas_udf
 FAIL_MOD = 10          # 1 in 10 URLs "404"s
 OUTLINKS_PER_PAGE = 3
 PATH_SPACE = 400       # distinct /whats-on/pageN paths per host
+FILM_SPACE = 300       # distinct /film/k detail pages per host
+CARD_LINK_STRIDE = 3   # every 3rd parsed card link joins the frontier
 
 
 def _h(s: str) -> int:
@@ -51,3 +54,91 @@ def page_outlinks_udf(url_norm: pd.Series) -> pd.Series:
 @lazy_pandas_udf("boolean")
 def fetch_ok_udf(url_norm: pd.Series) -> pd.Series:
     return url_norm.map(fetch_ok)
+
+
+_FILLER = (
+    "<nav><ul>" + "".join(f"<li><a href='/menu/{i}'>item {i}</a></li>" for i in range(40))
+    + "</ul></nav><p>"
+    + "Lorem listing filler text with dates like 1998-08-12 and prices. " * 40
+    + "</p>"
+)
+
+
+def synth_body(url_norm: str, n_cards: int = 40) -> str:
+    """Deterministic ~20 KB listing-page body for a fetched URL — the
+    sandbox's stand-in for the network payload, sized like a real listing
+    page so the parse stage has realistic per-URL CPU cost. Card markup
+    matches the paginated_cards extractor family."""
+    host = url_norm.split("://", 1)[1].split("/", 1)[0]
+    h = _h("body:" + url_norm)
+    cards = []
+    for j in range(n_cards):
+        # film id bounded to FILM_SPACE per host so the crawl URL universe
+        # is finite (seen-set convergence is observable)
+        k = ((h >> (j % 48)) & 0xFFFF ^ (j * 2654435761 & 0xFFFF)) % FILM_SPACE
+        cards.append(
+            f'<div class="card"><h3>Film {k}</h3>'
+            f'<a href="https://{host}/film/{k}" datetime="1998-08-{1 + k % 27:02d}T'
+            f'{10 + j % 12}:30:00">book</a>'
+            f'<img src="https://{host}/img/{k}.jpg"></div>'
+            f"<p>Synopsis {k}: a deterministic synopsis line for film {k}.</p>"
+        )
+    return "<html><body>" + _FILLER + "".join(cards) + _FILLER + "</body></html>"
+
+
+_CARD_FIELDS = re.compile(
+    r'<div class="card"><h3>(?P<title>[^<]*)</h3>'
+    r'<a href="(?P<link>[^"]*)" datetime="(?P<dt>[^"]*)">.*?'
+    r'(?:<img src="(?P<img>[^"]*)">)?</div>'
+)
+
+
+def fetch_and_parse(url_norm: str) -> tuple[bool, list[str], int]:
+    """Full per-URL fetch model: resolve → body → parse fields → outlinks.
+    Returns (ok, canonical outlinks, parsed item count). The parse is real
+    regex work over a realistic ~20 KB body, and parsed card links join the
+    discovered set (every CARD_LINK_STRIDE-th, like a crawler following
+    detail pages) alongside the pagination outlinks. Shared verbatim by
+    the Spark engine (inside the Arrow kernel) and the single-threaded
+    reference model — semantics live in exactly one place."""
+    from cinescrapers_spark.functions.urls import canonicalize_url_py
+
+    if not fetch_ok(url_norm):
+        return False, [], 0
+    body = synth_body(url_norm)
+    n_items = 0
+    raw_links = list(page_outlinks(url_norm))
+    for i, m in enumerate(_CARD_FIELDS.finditer(body)):
+        n_items += 1
+        if i % CARD_LINK_STRIDE == 0:
+            raw_links.append(m.group("link"))
+    links = []
+    for raw in raw_links:
+        c = canonicalize_url_py(raw)
+        if c is not None:
+            links.append(c)
+    return True, links, n_items
+
+
+@lazy_pandas_udf("struct<ok: boolean, outlinks: array<string>, n_items: int>")
+def fetch_parse_expand_udf(url_norm: pd.Series) -> pd.DataFrame:
+    rows = [fetch_and_parse(u) for u in url_norm]
+    return pd.DataFrame(rows, columns=["ok", "outlinks", "n_items"])
+
+
+@lazy_pandas_udf("array<string>")
+def page_outlinks_canon_udf(url_norm: pd.Series) -> pd.Series:
+    """Fused fetch-expand kernel: outlinks already canonicalized, one Python
+    eval node instead of outlink-UDF → explode → canonicalize-UDF (each
+    extra Python stage pays worker warmup across the executor fleet)."""
+    from cinescrapers_spark.functions.urls import canonicalize_url_py
+
+    def run(u):
+        out = []
+        for link in page_outlinks(u):
+            c = canonicalize_url_py(link)
+            if c is not None:
+                out.append(c)
+        return out
+
+    return url_norm.map(run)

@@ -1,0 +1,110 @@
+"""Ingest pipeline: fetched pages → ShowTime rows → enrich → MERGE upsert.
+
+This is ``scrape_to_sqlite`` (``/root/reference/src/cinescrapers/__main__.py:291-344``)
+as one declarative plan per batch, plus the analytical read paths
+(``grab_current_showtimes`` :347-366, ``export_json`` :369-391,
+``print_stats`` :69-178) over the resulting showtimes table.
+
+Runs identically under batch-incremental ticks (SnapshotTable commits — the
+reference's refresh model) and under Structured Streaming (same transforms
+inside ``foreachBatch``; see streaming/stream.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cinescrapers_spark.crawl.snapshots import SnapshotTable
+from cinescrapers_spark.operators.enrich import enrich_showtimes
+from cinescrapers_spark.operators.merge import merge_upsert
+from cinescrapers_spark.sources.extractors import extract_showtimes
+
+
+class ShowtimesStore:
+    """Snapshot-backed showtimes table with MERGE-by-id ingestion."""
+
+    def __init__(self, spark: SparkSession, path: str, site_shortcodes: DataFrame):
+        self.spark = spark
+        self.table = SnapshotTable(path)
+        # site → cinema_shortcode dimension (broadcast in every ingest)
+        self.site_dim = site_shortcodes
+
+    def read(self) -> DataFrame | None:
+        if self.table.latest() is None:
+            return None
+        return self.table.read(self.spark)
+
+    def ingest_pages(self, pages: DataFrame, now: datetime.datetime, tick: int) -> int:
+        extracted = extract_showtimes(pages)
+        with_code = extracted.join(
+            F.broadcast(self.site_dim), "site", "inner"
+        )  # FK join replaces the assert (ref __main__.py:384-385)
+        enriched = enrich_showtimes(with_code, now=now).filter(
+            F.col("title").isNotNull() & F.col("datetime").isNotNull()
+        )
+        merged = merge_upsert(self.read(), enriched, key="id", order_col="last_updated")
+        merged = merged.cache()
+        n = merged.count()
+        self.table.commit(merged, tick=tick, metrics={"rows": n}, row_count=n)
+        merged.unpersist()
+        return n
+
+    # -- read paths ---------------------------------------------------------
+    def current_showtimes(self, now: datetime.datetime, days: int = 90) -> DataFrame:
+        """this_morning ≤ datetime ≤ now+days, ordered (ref :347-366)."""
+        t0 = now.replace(hour=0, minute=0, second=0, microsecond=0)
+        t1 = now + datetime.timedelta(days=days)
+        return (
+            self.read()
+            .filter((F.col("datetime") >= F.lit(t0)) & (F.col("datetime") <= F.lit(t1)))
+            .orderBy("datetime", "id")
+        )
+
+    def export_rows(self, now: datetime.datetime) -> DataFrame:
+        """Export projection with description truncation (ref :386)."""
+        return self.current_showtimes(now).select(
+            "id",
+            "cinema_shortcode",
+            "title",
+            "norm_title",
+            "link",
+            "datetime",
+            F.substring("description", 1, 210).alias("description"),
+            "image_src",
+            "scraper",
+        )
+
+    def stats(self, now: datetime.datetime) -> dict:
+        """The print_stats aggregates (ref :69-178) as one cached pass."""
+        from cinescrapers_spark.functions.dates import next_month_boundary
+
+        df = self.read().cache()
+        month = next_month_boundary(now)
+        total = df.count()
+        next_month = df.filter(
+            (F.col("datetime") >= F.lit(now)) & (F.col("datetime") < F.lit(month))
+        )
+        daily = (
+            next_month.groupBy(F.to_date("datetime").alias("d"))
+            .agg(F.countDistinct("norm_title").alias("c"))
+        )
+        row = daily.agg(
+            F.floor(F.avg("c")).cast("long").alias("avg_daily"),
+        ).first()
+        titles = next_month.agg(F.countDistinct("norm_title")).first()[0]
+        per_scraper = {
+            r["scraper"]: (r["cnt"], r["mx"])
+            for r in df.groupBy("scraper")
+            .agg(F.count("*").alias("cnt"), F.max("last_updated").alias("mx"))
+            .collect()
+        }
+        df.unpersist()
+        return {
+            "total": total,
+            "distinct_titles_next_month": titles,
+            "avg_daily_titles": row["avg_daily"] if row["avg_daily"] is not None else 0,
+            "per_scraper": per_scraper,
+        }

@@ -1,0 +1,75 @@
+"""Structured Streaming binding for the ingest pipeline.
+
+The engine's native operational mode is batch-incremental (snapshot ticks —
+the reference's refresh loop, SURVEY §2.10). This module runs the SAME
+transforms under ``readStream`` for deployments that want a continuous
+pipeline: a file-source stream of fetched pages → extract → enrich →
+``foreachBatch`` MERGE into the ShowtimesStore, plus a watermarked windowed
+aggregate (late-data handling for the showtimes-per-window stat).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cinescrapers_spark.schemas import PAGE
+from cinescrapers_spark.streaming.ingest import ShowtimesStore
+
+
+def stream_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
+    """File-source stream of page batches (one parquet drop per tick)."""
+    return spark.readStream.schema(PAGE).parquet(pages_dir)
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    store: ShowtimesStore,
+    checkpoint_dir: str,
+    now: datetime.datetime,
+) -> StreamingQuery:
+    """pages stream → extract/enrich/MERGE per micro-batch.
+
+    MERGE is not stream-native (needs the whole target), so it runs in
+    ``foreachBatch`` — the standard Spark pattern for streaming upserts
+    into a table store."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.ingest_pages(batch_df, now=now, tick=int(batch_id))
+
+    return (
+        stream_pages(spark, pages_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window distinct-ish count — the streaming
+    phrasing of the daily-films stat (__main__.py:89-98); late rows beyond
+    the watermark are dropped, duplicates by (window, event_id) survive
+    at-least-once sources via dropDuplicates."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )

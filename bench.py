@@ -38,19 +38,9 @@ BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "400000"))
 BENCH_TICKS = int(os.environ.get("SPARK_GRAFT_BENCH_TICKS", "2"))
 
 
-def run_crawl_bench(cpus: int) -> dict:
+def _run_module(module: str, cpus: int, extra: list[str]) -> dict:
     out = subprocess.run(
-        [
-            sys.executable,
-            "-m",
-            "cinescrapers_spark.bench_crawl",
-            "--cpus",
-            str(cpus),
-            "--urls",
-            str(BENCH_URLS),
-            "--ticks",
-            str(BENCH_TICKS),
-        ],
+        [sys.executable, "-m", module, "--cpus", str(cpus), *extra],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -60,7 +50,19 @@ def run_crawl_bench(cpus: int) -> dict:
         line = line.strip()
         if line.startswith("{"):
             return json.loads(line)
-    raise RuntimeError(f"bench_crawl({cpus}) produced no JSON: {out.stderr[-2000:]}")
+    raise RuntimeError(f"{module}({cpus}) produced no JSON: {out.stderr[-2000:]}")
+
+
+def run_crawl_bench(cpus: int) -> dict:
+    return _run_module(
+        "cinescrapers_spark.bench_crawl",
+        cpus,
+        ["--urls", str(BENCH_URLS), "--ticks", str(BENCH_TICKS)],
+    )
+
+
+def run_parse_bench(cpus: int) -> dict:
+    return _run_module("cinescrapers_spark.bench_parse", cpus, [])
 
 
 def main() -> None:
@@ -93,6 +95,9 @@ def main() -> None:
     thr8 = b8["throughput_urls_per_sec"]
     thr32 = b32["throughput_urls_per_sec"]
     efficiency = round((thr32 / thr8) / 4.0, 3)
+    p8 = run_parse_bench(8)
+    p32 = run_parse_bench(32)
+    p_eff = round((p32["urls_per_sec"] / p8["urls_per_sec"]) / 4.0, 3)
 
     print(
         json.dumps(
@@ -102,6 +107,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf_dir,
+                # end-to-end frontier ticks at N=2 vs 4N=8 executors
+                # (local-cluster; includes per-tick commit/schedule latency,
+                # which amortizes on real clusters — see BASELINE.md §D)
                 "frontier": {
                     "urls_in": b8["urls_in"],
                     "ticks": BENCH_TICKS,
@@ -110,6 +118,14 @@ def main() -> None:
                     "scaling_efficiency_8_to_32": efficiency,
                     "wall_at_8": b8["total_wall_sec"],
                     "wall_at_32": b32["total_wall_sec"],
+                },
+                # the engine's data-parallel path in isolation (fetch+parse+
+                # expand kernel): governs cluster-scale throughput
+                "parse_stage": {
+                    "urls": p8["urls"],
+                    "urls_per_sec_at_8": p8["urls_per_sec"],
+                    "urls_per_sec_at_32": p32["urls_per_sec"],
+                    "scaling_efficiency_8_to_32": p_eff,
                 },
             }
         )

@@ -1,0 +1,79 @@
+"""Data-parallel stage scaling bench: the fused fetch+parse+expand kernel
+alone (one Arrow mapInPandas pass, no shuffles, no commits) at a given
+core count. This isolates the engine's scalable path from per-tick
+scheduling latency — on a real cluster each tick is orders of magnitude
+wider, so this stage's scaling is what governs throughput there.
+
+Usage: python -m cinescrapers_spark.bench_parse --cpus 8 --urls 400000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--urls", type=int, default=400_000)
+    args = ap.parse_args()
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.session import get_spark
+    from cinescrapers_spark.sources.pages import fetch_parse_expand_udf
+
+    spark = get_spark(
+        app_name=f"bench-parse-{args.cpus}",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    urls = pd.DataFrame(
+        {
+            "url_norm": [
+                f"https://host-{i % 5000}.example.com/whats-on/page{i % 400}"
+                for i in range(args.urls)
+            ]
+        }
+    )
+    df = spark.createDataFrame(urls).repartition(args.cpus * 4).cache()
+    df.count()
+
+    def kernel_sum(frame):
+        return frame.withColumn(
+            "__f", fetch_parse_expand_udf(F.col("url_norm"))
+        ).select(
+            F.sum(F.size("__f.outlinks")).alias("links"),
+            F.sum("__f.n_items").alias("items"),
+        )
+
+    # warmup on a DISJOINT small input (same-plan reruns would reuse the
+    # materialized shuffle stage and time ~nothing)
+    warm = spark.createDataFrame(urls.head(20_000)).repartition(args.cpus)
+    kernel_sum(warm).collect()
+    t0 = time.time()
+    row = kernel_sum(df).collect()[0]
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "cpus": args.cpus,
+                "urls": args.urls,
+                "links": int(row["links"]),
+                "items": int(row["items"]),
+                "wall_sec": round(wall, 3),
+                "urls_per_sec": round(args.urls / wall, 1),
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -6,9 +6,18 @@ snapshot tables:
 
     frontier_{t+1} = frontier_t[fetched-marks] ∪ (outlinks(fetch(sched_t)) ∖ seen)
 
-Every tick commits frontier + seen-shard snapshots with per-partition
-lineage and fetch/parse/dedup metrics → the crawl is resumable from any
-tick (kill + restart reads the latest manifests), per north_rule.
+Frontier storage is **merge-on-read** (the Iceberg MOR / LSM shape): each
+tick writes only its CHANGES — a marks delta (per-fetch state updates) and
+an adds delta (new unseen rows) — and the full table is reconstructed on
+read as ``base ∪ adds`` patched by latest-wins marks. A compaction every
+``compact_every`` ticks folds deltas into a new base checkpoint. Per-tick
+write cost is O(changes), not O(frontier) — the property that survives a
+10^10-row frontier (a full rewrite per tick would be the bottleneck there,
+and measurably dominated tick wall-clock even at 10^6 locally).
+
+Every tick commits delta + seen-shard snapshots with per-partition lineage
+and fetch/parse/dedup metrics → the crawl is resumable from any tick (kill
++ restart reads the latest manifests), per north_rule.
 """
 
 from __future__ import annotations
@@ -17,7 +26,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cinescrapers_spark.crawl.frontier import (
@@ -29,6 +38,8 @@ from cinescrapers_spark.crawl.seen import SeenSet
 from cinescrapers_spark.crawl.snapshots import SnapshotTable
 from cinescrapers_spark.schemas import FRONTIER
 from cinescrapers_spark.sources.pages import fetch_parse_expand_udf
+
+_FRONTIER_COLS = [f.name for f in FRONTIER.fields]
 
 
 class CrawlEngine:
@@ -42,6 +53,7 @@ class CrawlEngine:
         tick_seconds: float = 60.0,
         max_per_tick: int = 25,
         light_metrics: bool = False,
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -52,7 +64,10 @@ class CrawlEngine:
         # light_metrics drops the discovered-count job from the hot path
         # (bench mode); full mode keeps the exact dedup_dropped metric
         self.light_metrics = light_metrics
-        self.frontier_table = SnapshotTable(os.path.join(workdir, "frontier"))
+        self.compact_every = compact_every
+        self.base_table = SnapshotTable(os.path.join(workdir, "frontier"))
+        self.adds_table = SnapshotTable(os.path.join(workdir, "frontier_adds"))
+        self.marks_table = SnapshotTable(os.path.join(workdir, "frontier_marks"))
         self.seen = SeenSet(
             SnapshotTable(os.path.join(workdir, "seen_shards")), num_shards=num_shards
         )
@@ -60,7 +75,7 @@ class CrawlEngine:
 
     # -- lifecycle -------------------------------------------------------------
     def bootstrap(self, raw_seed_urls: DataFrame) -> dict:
-        """Tick 0: canonicalize seeds, build frontier snapshot 0, register
+        """Tick 0: canonicalize seeds, build base snapshot 0, register
         every frontier URL in the seen set."""
         frontier = init_frontier(
             self.spark, raw_seed_urls, self.hosts, tick=0, n_salts=self.n_salts
@@ -68,33 +83,84 @@ class CrawlEngine:
         frontier = frontier.cache()
         n = frontier.count()
         self.seen.add(frontier.select("url_hash"), tick=0)
-        self.frontier_table.commit(frontier, tick=0, metrics={"seeded": n}, row_count=n)
+        self.base_table.commit(frontier, tick=0, metrics={"seeded": n}, row_count=n)
         frontier.unpersist()
         return {"tick": 0, "seeded": n}
 
     def current_tick(self) -> int:
-        latest = self.frontier_table.latest()
-        return latest["tick"] if latest else -1
+        ticks = [-1]
+        for table in (self.base_table, self.marks_table):
+            latest = table.latest()
+            if latest:
+                ticks.append(latest["tick"])
+        return max(ticks)
+
+    # -- merge-on-read reconstruction -------------------------------------------
+    def _entries_upto(self, table: SnapshotTable, lo: int, hi: int) -> list[dict]:
+        return [e for e in table.manifest() if lo < e["tick"] <= hi]
+
+    def frontier_at(self, tick: int) -> DataFrame:
+        """Reconstruct the frontier state as of the END of ``tick``:
+        newest base ≤ tick, plus adds deltas, patched by latest-wins marks."""
+        bases = [e for e in self.base_table.manifest() if e["tick"] <= tick]
+        if not bases:
+            raise FileNotFoundError("no base snapshot — bootstrap first")
+        base_entry = bases[-1]
+        rows = self.base_table.read(self.spark, snapshot_id=base_entry["snapshot_id"])
+        add_entries = self._entries_upto(self.adds_table, base_entry["tick"], tick)
+        if add_entries:
+            adds = self.spark.read.parquet(
+                *[self.adds_table.snapshot_dir(e["snapshot_id"]) for e in add_entries]
+            )
+            rows = rows.unionByName(adds.select(*_FRONTIER_COLS))
+        mark_entries = self._entries_upto(self.marks_table, base_entry["tick"], tick)
+        if mark_entries:
+            marks = self.spark.read.parquet(
+                *[self.marks_table.snapshot_dir(e["snapshot_id"]) for e in mark_entries]
+            )
+            w = Window.partitionBy("m_hash").orderBy(F.desc("m_tick"))
+            latest = (
+                marks.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .drop("__r")
+            )
+            rows = (
+                rows.join(latest, rows.url_hash == latest.m_hash, "left")
+                .withColumn("state", F.coalesce("m_state", "state"))
+                .withColumn(
+                    "last_fetch_tick", F.coalesce("m_last_fetch_tick", "last_fetch_tick")
+                )
+                .withColumn("retries", F.coalesce("m_retries", "retries"))
+                .select(*_FRONTIER_COLS)
+            )
+        return rows
+
+    def frontier(self) -> DataFrame:
+        return self.frontier_at(self.current_tick())
+
+    def _frontier_row_count(self) -> int:
+        bases = self.base_table.manifest()
+        base = bases[-1]
+        adds = self._entries_upto(self.adds_table, base["tick"], 10**9)
+        return base["row_count"] + sum(e["row_count"] for e in adds)
 
     # -- one tick ----------------------------------------------------------------
     def tick(self) -> dict:
         """Run the next tick; returns its metrics dict."""
         t = self.current_tick() + 1
         t0 = time.time()
-        frontier = self.frontier_table.read(self.spark)
+        frontier = self.frontier_at(t - 1)
 
         # 1. politeness-scheduled fetch set (deterministic top-budget per
-        #    host) + "fetch" outcome in one cached pass; scheduled and
-        #    failed counts come from a single aggregate job
+        #    host) + fetch+parse+expand in ONE fused Arrow kernel
         sched = schedule_tick(
             frontier, t, tick_seconds=self.tick_seconds, max_per_tick=self.max_per_tick
         )
-        # 2. fetch + parse + expand in ONE fused Arrow kernel per row:
-        #    resolve → body → field parse → canonical outlinks
         fetched = (
             sched.withColumn("__f", fetch_parse_expand_udf(F.col("url_norm")))
             .select(
                 "url_hash",
+                "retries",
                 F.col("__f.ok").alias("__ok"),
                 F.col("__f.outlinks").alias("__outlinks"),
                 F.col("__f.n_items").alias("__n_items"),
@@ -113,10 +179,7 @@ class CrawlEngine:
 
         discovered = fetched.select(F.explode("__outlinks").alias("url"))
 
-        # 3. frontier-shape the discoveries, then seen-filter. init_frontier
-        #    dedups within the batch; the SeenSet kills everything already
-        #    known from prior ticks. new_rows is cached: it feeds both the
-        #    discovered-count and the seen probe.
+        # 2. frontier-shape the discoveries (canonical-dedup within batch)
         new_rows = init_frontier(
             self.spark,
             discovered,
@@ -131,7 +194,7 @@ class CrawlEngine:
         else:
             n_discovered = n_links  # raw link count stands in (no extra job)
 
-        # 4. fused seen probe + insert: one cogroup shuffle yields both the
+        # 3. fused seen probe + insert: one cogroup shuffle yields both the
         #    unseen rows and the updated shard blobs; the shard-snapshot
         #    write materializes it, and n_new comes from parquet footers
         #    (driver-side) instead of a count job
@@ -140,36 +203,23 @@ class CrawlEngine:
         total = self.seen.commit_shards(new_shards, tick=t)
         n_new = total - prev_total
 
-        # 5. fold fetch results back into the frontier + append new rows
+        # 4. delta commits: marks (absolute per-URL state after this fetch)
+        #    and adds (the unseen rows) — O(changes) writes
         marks = fetched.select(
             F.col("url_hash").alias("m_hash"),
-            F.when(F.col("__ok"), F.lit("fetched")).otherwise(F.lit("failed")).alias(
-                "m_state"
-            ),
+            F.when(F.col("__ok"), F.lit("fetched"))
+            .otherwise(F.lit("failed"))
+            .alias("m_state"),
+            F.lit(t).alias("m_last_fetch_tick"),
+            F.when(~F.col("__ok"), F.col("retries") + 1)
+            .otherwise(F.col("retries"))
+            .alias("m_retries"),
+            F.lit(t).alias("m_tick"),
         )
-        updated = (
-            frontier.join(F.broadcast(marks), frontier.url_hash == marks.m_hash, "left")
-            .withColumn(
-                "state",
-                F.when(F.col("m_state").isNotNull(), F.col("m_state")).otherwise(
-                    F.col("state")
-                ),
-            )
-            .withColumn(
-                "last_fetch_tick",
-                F.when(F.col("m_state").isNotNull(), F.lit(t)).otherwise(
-                    F.col("last_fetch_tick")
-                ),
-            )
-            .withColumn(
-                "retries",
-                F.when(F.col("m_state") == "failed", F.col("retries") + 1).otherwise(
-                    F.col("retries")
-                ),
-            )
-            .select(*[c.name for c in FRONTIER.fields])
+        self.marks_table.commit(marks, tick=t, row_count=n_sched)
+        self.adds_table.commit(
+            unseen.select(*_FRONTIER_COLS), tick=t, row_count=n_new
         )
-        next_frontier = updated.unionByName(unseen.select(*[c.name for c in FRONTIER.fields]))
 
         wall = time.time() - t0
         metrics = {
@@ -182,14 +232,21 @@ class CrawlEngine:
             "new_unseen": n_new,
             "dedup_dropped": n_discovered - n_new,
             "sched_and_dedup_urls": n_sched + n_links,
+            "frontier_rows": self._frontier_row_count(),
             "wall_sec": round(wall, 3),
         }
-        # frontier rows are never deleted → next count is prev + n_new;
-        # avoids a read-back count per commit
-        prev_count = self.frontier_table.latest()["row_count"]
-        self.frontier_table.commit(
-            next_frontier, tick=t, metrics=metrics, row_count=prev_count + n_new
-        )
+
+        # 5. periodic compaction: fold deltas into a fresh base checkpoint
+        if self.compact_every and t % self.compact_every == 0:
+            compacted = self.frontier_at(t)
+            self.base_table.commit(
+                compacted,
+                tick=t,
+                metrics={"compaction": True},
+                row_count=self._frontier_row_count(),
+            )
+            metrics["compacted"] = True
+
         metrics["wall_sec"] = round(time.time() - t0, 3)
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(metrics) + "\n")
@@ -208,14 +265,11 @@ class CrawlEngine:
         return out
 
     # -- introspection ------------------------------------------------------------
-    def frontier(self) -> DataFrame:
-        return self.frontier_table.read(self.spark)
-
     def scheduled_set(self, tick: int) -> DataFrame:
         """Recompute the (deterministic) schedule of a given tick from that
-        tick's parent snapshot — used by equivalence tests and resume
-        audits; identical output to what the tick actually fetched."""
-        parent = self.frontier_table.read(self.spark, snapshot_id=tick - 1)
+        tick's parent state — used by equivalence tests and resume audits;
+        identical output to what the tick actually fetched."""
+        parent = self.frontier_at(tick - 1)
         return schedule_tick(
             parent, tick, tick_seconds=self.tick_seconds, max_per_tick=self.max_per_tick
         )

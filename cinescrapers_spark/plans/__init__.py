@@ -16,6 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
     from cinescrapers_spark.plans import (
+        advanced,
         aggregates,
         dedup,
         images_plans,
@@ -26,7 +27,16 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (aggregates, joins, windows, dedup, similarity, textops, images_plans):
+    for mod in (
+        aggregates,
+        joins,
+        windows,
+        dedup,
+        similarity,
+        textops,
+        images_plans,
+        advanced,
+    ):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

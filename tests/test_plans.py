@@ -7,9 +7,9 @@ from cinescrapers_spark.plans import registry
 
 def test_registry_sane():
     reg = registry()
-    assert len(reg) >= 30
+    assert len(reg) >= 55
     with_oracle = [n for n, (_, sql) in reg.items() if sql]
-    assert len(with_oracle) >= 25
+    assert len(with_oracle) >= 48
     for name, (fn, _) in reg.items():
         assert callable(fn), name
 
@@ -58,3 +58,23 @@ def test_queries_run_at_sf0001(spark, sf_dir, name):
     reg = registry()
     fn, _ = reg[name]
     assert fn(spark, sf_dir).count() >= 0
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL sketch (rsd=0.02) must stay within a loose error band of the
+    exact daily distincts — the 10^10-scale COUNT(DISTINCT) form."""
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.plans.advanced import q_approx_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["d"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").cast("string").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {r["d"]: r["approx_users"] for r in q_approx_distinct(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(3, 0.1 * n), (d, n, approx[d])

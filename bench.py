@@ -34,7 +34,7 @@ HEADLINE = [
     "q_token_count",
 ]
 
-BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "400000"))
+BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "1000000"))
 BENCH_TICKS = int(os.environ.get("SPARK_GRAFT_BENCH_TICKS", "2"))
 
 

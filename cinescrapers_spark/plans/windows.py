@@ -59,6 +59,9 @@ def q_budget_rank(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- lag/delta per group (recency scoring input for the frontier priority) --
 def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    # ntz→timestamp→long is session-TZ-dependent; pin UTC so the epoch
+    # seconds match DuckDB's epoch() under any driver session config
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         load(spark, sf, "events")

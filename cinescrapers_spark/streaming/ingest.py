@@ -23,6 +23,48 @@ from cinescrapers_spark.operators.merge import merge_upsert
 from cinescrapers_spark.sources.extractors import extract_showtimes
 
 
+def attach_thumbnails(enriched: DataFrame, images: DataFrame) -> DataFrame:
+    """Thumbnail enrichment (ref __main__.py:302-323 get_thumbnail step):
+    the images table is content-addressed by ``image_id =
+    get_hashed(image_src)`` (the reference's cache key, __main__.py:218);
+    rows whose image exists get a smart-crop thumbnail reference
+    ``thumb-<image_id>`` — the seen-check-before-fetch becomes this join.
+    """
+    from cinescrapers_spark.functions.hashing import get_hashed_udf
+
+    keyed = enriched.withColumn(
+        "__img_key",
+        F.when(F.col("image_src").isNotNull(), get_hashed_udf(F.col("image_src"))),
+    )
+    hit = (
+        images.select(F.col("image_id").alias("__img_key"))
+        .distinct()
+        .withColumn("__have_img", F.lit(True))
+    )
+    return (
+        keyed.join(F.broadcast(hit), "__img_key", "left_outer")
+        .withColumn(
+            "thumbnail",
+            F.when(
+                F.col("__have_img"), F.concat(F.lit("thumb-"), F.col("__img_key"))
+            ).otherwise(F.lit(None).cast("string")),
+        )
+        .drop("__img_key", "__have_img")
+    )
+
+
+def thumbnail_blobs(images: DataFrame) -> DataFrame:
+    """Materialize the thumbnail blob sink: content-addressed 64×64 ppm
+    thumbnails for every image row (the reference's thumbnails folder,
+    __main__.py:26-28, as a binary-column table)."""
+    from cinescrapers_spark.images.ops import thumbnail_udf
+
+    return images.select(
+        F.concat(F.lit("thumb-"), F.col("image_id")).alias("thumb_id"),
+        thumbnail_udf(F.col("bytes"), F.col("fmt")).alias("thumb_bytes"),
+    )
+
+
 class ShowtimesStore:
     """Snapshot-backed showtimes table with MERGE-by-id ingestion."""
 
@@ -37,7 +79,13 @@ class ShowtimesStore:
             return None
         return self.table.read(self.spark)
 
-    def ingest_pages(self, pages: DataFrame, now: datetime.datetime, tick: int) -> int:
+    def ingest_pages(
+        self,
+        pages: DataFrame,
+        now: datetime.datetime,
+        tick: int,
+        images: DataFrame | None = None,
+    ) -> int:
         extracted = extract_showtimes(pages)
         with_code = extracted.join(
             F.broadcast(self.site_dim), "site", "inner"
@@ -45,6 +93,8 @@ class ShowtimesStore:
         enriched = enrich_showtimes(with_code, now=now).filter(
             F.col("title").isNotNull() & F.col("datetime").isNotNull()
         )
+        if images is not None:
+            enriched = attach_thumbnails(enriched, images)
         merged = merge_upsert(self.read(), enriched, key="id", order_col="last_updated")
         merged = merged.cache()
         n = merged.count()

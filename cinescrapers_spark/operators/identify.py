@@ -1,0 +1,161 @@
+"""Film identification — the reference's TMDB-matching lifecycle
+(``/root/reference/src/cinescrapers/__main__.py:406-466`` +
+``film_identification.py``) as one declarative pass:
+
+1. derive the movie identity key (norm_title-description-image_src hash,
+   ref __main__.py:425-428);
+2. LEFT JOIN the id cache — hits short-circuit (ref :436-447);
+3. misses retrieve candidates by exact norm_title at year, year±1, with
+   fallback (ref film_identification.py:190-222) — here the remote search
+   is a broadcast-joined candidate dimension (sandbox: no network);
+4. score candidates with the reference's piecewise formula —
+   thresholded affine rescale of text sim (>0.2) and image sim (>0.65)
+   plus a recency bonus 0.05, normalized by 2.05 (ref :160-187) — over the
+   deterministic stand-in embeddings;
+5. window top-1 per movie key (ref :224-232), MERGE ids back, append the
+   new matches to the cache (the "flush every 100" checkpoint, :457-460,
+   becomes a snapshot commit by the caller).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cinescrapers_spark.functions.hashing import movie_hash
+from cinescrapers_spark.plans.similarity import cosine
+
+TEXT_THRESHOLD = 0.2
+IMAGE_THRESHOLD = 0.65
+RECENCY_BONUS = 0.05
+NORMALIZER = 2.05
+MIN_SCORE = 0.15
+
+
+def _piecewise(sim, threshold):
+    return F.when(sim > threshold, (sim - threshold) / (1 - threshold)).otherwise(0.0)
+
+
+def identify_films(
+    showtimes: DataFrame,
+    cache: DataFrame | None,
+    candidates: DataFrame,
+    current_year: int,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (showtimes with tmdb_id filled, new cache rows).
+
+    ``cache``: (movie_hash string, tmdb_id int) or None.
+    ``candidates``: (tmdb_id int, norm_title string, release_year int,
+    text_emb array<double>, img_emb array<double>) — the broadcastable
+    "search index" dimension.
+    """
+    keyed = showtimes.withColumn(
+        "movie_hash",
+        movie_hash(F.col("norm_title"), F.col("description"), F.col("image_src")),
+    )
+    if cache is not None:
+        keyed = keyed.join(
+            F.broadcast(cache.withColumnRenamed("tmdb_id", "cached_tmdb_id")),
+            "movie_hash",
+            "left",
+        )
+    else:
+        keyed = keyed.withColumn("cached_tmdb_id", F.lit(None).cast("int"))
+
+    hits = keyed.filter(F.col("cached_tmdb_id").isNotNull())
+    misses = keyed.filter(F.col("cached_tmdb_id").isNull())
+
+    # candidate retrieval: exact norm_title, at year / year±1 when the
+    # showtime has a release_year, unrestricted otherwise (the concat of
+    # three searches, ref film_identification.py:194-202)
+    cand = F.broadcast(candidates)
+    joined = misses.join(cand, "norm_title", "inner").filter(
+        F.col("release_year").isNull()
+        | (F.abs(F.col("release_year") - F.col("cand_year")) <= 1)
+    )
+
+    # embed the showtime side (deterministic stand-ins, §2.9)
+    from cinescrapers_spark.images.ops import embed_text_udf
+
+    scored = (
+        joined.withColumn(
+            "text_sim",
+            cosine(
+                F.transform(embed_text_udf(F.coalesce("description", "title")), lambda x: x.cast("double")),
+                F.col("text_emb"),
+            ),
+        )
+        .withColumn(
+            "img_sim",
+            cosine(
+                F.transform(embed_text_udf(F.coalesce("image_src", F.lit(""))), lambda x: x.cast("double")),
+                F.col("img_emb"),
+            ),
+        )
+        .withColumn(
+            "score",
+            (
+                _piecewise(F.col("text_sim"), TEXT_THRESHOLD)
+                + _piecewise(F.col("img_sim"), IMAGE_THRESHOLD)
+                + F.when(
+                    F.col("cand_year") >= current_year - 1, RECENCY_BONUS
+                ).otherwise(0.0)
+            )
+            / NORMALIZER,
+        )
+    )
+    w = Window.partitionBy("movie_hash").orderBy(F.desc("score"), F.asc("cand_tmdb_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("score") >= MIN_SCORE))
+        .select("movie_hash", F.col("cand_tmdb_id").alias("matched_tmdb_id"))
+        .distinct()
+    )
+
+    resolved_misses = (
+        misses.join(F.broadcast(best), "movie_hash", "left")
+        .withColumn("tmdb_id", F.col("matched_tmdb_id"))
+        .drop("matched_tmdb_id")
+    )
+    out_cols = showtimes.columns
+    updated = (
+        hits.withColumn("tmdb_id", F.col("cached_tmdb_id"))
+        .select(*out_cols)
+        .unionByName(resolved_misses.select(*out_cols))
+    )
+    new_cache = best.select(
+        "movie_hash", F.col("matched_tmdb_id").alias("tmdb_id")
+    )
+    return updated, new_cache
+
+
+def synthetic_candidates(spark, norm_titles: list[str], seed_year: int = 1998) -> DataFrame:
+    """Deterministic stand-in 'TMDB' dimension: one candidate per distinct
+    norm_title (+ one decoy with a far year), embeddings from the same
+    stand-in embedder the scorer uses (so text_sim is meaningfully high
+    for the true match)."""
+    import pandas as pd
+
+    from cinescrapers_spark.images.ops import embed_text
+
+    rows = []
+    for i, nt in enumerate(sorted(set(norm_titles))):
+        rows.append(
+            {
+                "norm_title": nt,
+                "cand_tmdb_id": 1000 + i,
+                "cand_year": seed_year - (i % 3),
+                "text_emb": [float(x) for x in embed_text(nt)],
+                "img_emb": [float(x) for x in embed_text("poster:" + nt)],
+            }
+        )
+        rows.append(
+            {
+                "norm_title": nt,
+                "cand_tmdb_id": 5000 + i,
+                "cand_year": seed_year - 30,  # decoy: wrong era
+                "text_emb": [float(x) for x in embed_text("unrelated " + str(i))],
+                "img_emb": [float(x) for x in embed_text("noise " + str(i))],
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows))

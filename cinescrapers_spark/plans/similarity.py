@@ -41,7 +41,10 @@ def l2norm(a):
 
 
 def cosine(a, b):
-    return dot(a, b) / (l2norm(a) * l2norm(b))
+    # zero-norm guard: ANSI mode (Spark 4 default) raises on /0; a zero
+    # vector has no direction → similarity 0
+    den = l2norm(a) * l2norm(b)
+    return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def q_embed_norms(spark: SparkSession, sf: str) -> DataFrame:

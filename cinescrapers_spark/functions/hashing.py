@@ -36,18 +36,42 @@ def get_hashed_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: None if x is None else get_hashed_py(x))
 
 
-def showtime_id(shortcode: Column, title: Column, dt: Column) -> Column:
-    """Row id = hash(f"{shortcode}-{title}-{datetime}") (ref __main__.py:181-183).
+def fstr(c: Column) -> Column:
+    """Python f-string rendering of a nullable value: None → the literal
+    string "None" (``f"{None}"``), everything else via cast to string.
+    ``concat_ws`` would silently *drop* NULL fields, splitting identities
+    the reference's f-strings keep distinct."""
+    return F.coalesce(c.cast("string"), F.lit("None"))
 
-    The reference formats the datetime via str(datetime) == "YYYY-MM-DD HH:MM:SS".
-    """
-    key = F.concat_ws(
-        "-", shortcode, title, F.date_format(dt, "yyyy-MM-dd HH:mm:ss")
+
+def py_datetime_str(dt: Column) -> Column:
+    """``str(datetime)`` exactly: "YYYY-MM-DD HH:MM:SS" when microsecond==0,
+    else "YYYY-MM-DD HH:MM:SS.ffffff" (6-digit zero-padded fraction)."""
+    base = F.date_format(dt, "yyyy-MM-dd HH:mm:ss")
+    micros = F.date_format(dt, "SSSSSS")
+    rendered = F.when(
+        micros != "000000", F.concat(base, F.lit("."), micros)
+    ).otherwise(base)
+    # NULL datetime → "None", like any other f-string field
+    return F.coalesce(rendered, F.lit("None"))
+
+
+def showtime_id(shortcode: Column, title: Column, dt: Column) -> Column:
+    """Row id = hash(f"{shortcode}-{title}-{datetime}") (ref __main__.py:181-183),
+    byte-compatible including str(datetime) microsecond rendering and
+    f-string "None" for NULL fields."""
+    key = F.concat(
+        fstr(shortcode), F.lit("-"), fstr(title), F.lit("-"), py_datetime_str(dt)
     )
     return get_hashed_udf(key)
 
 
 def movie_hash(norm_title: Column, description: Column, image_src: Column) -> Column:
     """Movie identity key = hash(f"{norm_title}-{description}-{image_src}")
-    (ref __main__.py:425-428)."""
-    return get_hashed_udf(F.concat_ws("-", norm_title, description, image_src))
+    (ref __main__.py:425-428). NULL description/image_src render as "None",
+    matching the Python f-string — every imageless listing hits this path."""
+    return get_hashed_udf(
+        F.concat(
+            fstr(norm_title), F.lit("-"), fstr(description), F.lit("-"), fstr(image_src)
+        )
+    )

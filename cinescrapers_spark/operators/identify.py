@@ -29,7 +29,6 @@ TEXT_THRESHOLD = 0.2
 IMAGE_THRESHOLD = 0.65
 RECENCY_BONUS = 0.05
 NORMALIZER = 2.05
-MIN_SCORE = 0.15
 
 
 def _piecewise(sim, threshold):
@@ -69,10 +68,26 @@ def identify_films(
     # showtime has a release_year, unrestricted otherwise (the concat of
     # three searches, ref film_identification.py:194-202)
     cand = F.broadcast(candidates)
-    joined = misses.join(cand, "norm_title", "inner").filter(
+    exact = misses.join(cand, "norm_title", "inner").filter(
         F.col("release_year").isNull()
         | (F.abs(F.col("release_year") - F.col("cand_year")) <= 1)
     )
+    # fallback pass (ref film_identification.py:213-216): a movie key with a
+    # release_year but ZERO exact-title candidates retries the year-window
+    # search without the title constraint — the reference's
+    # "tmdb_results_filtered == [] and showtime.release_year" branch
+    covered = exact.select("movie_hash").distinct()
+    fallback = (
+        misses.filter(F.col("release_year").isNotNull())
+        .join(F.broadcast(covered), "movie_hash", "left_anti")
+        .join(
+            cand.withColumnRenamed("norm_title", "__cand_title"),
+            F.abs(F.col("release_year") - F.col("cand_year")) <= 1,
+            "inner",
+        )
+        .drop("__cand_title")
+    )
+    joined = exact.unionByName(fallback.select(*exact.columns))
 
     # embed the showtime side (deterministic stand-ins, §2.9)
     from cinescrapers_spark.images.ops import embed_text_udf
@@ -104,10 +119,12 @@ def identify_films(
             / NORMALIZER,
         )
     )
+    # top-1 per movie key, unconditionally — get_best_tmdb_match returns the
+    # highest-scored result with no floor (ref film_identification.py:225-232)
     w = Window.partitionBy("movie_hash").orderBy(F.desc("score"), F.asc("cand_tmdb_id"))
     best = (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("score") >= MIN_SCORE))
+        .filter(F.col("rn") == 1)
         .select("movie_hash", F.col("cand_tmdb_id").alias("matched_tmdb_id"))
         .distinct()
     )

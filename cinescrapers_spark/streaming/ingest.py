@@ -95,7 +95,16 @@ class ShowtimesStore:
         )
         if images is not None:
             enriched = attach_thumbnails(enriched, images)
-        merged = merge_upsert(self.read(), enriched, key="id", order_col="last_updated")
+        # preserve=["tmdb_id"]: the reference's ON CONFLICT DO UPDATE does
+        # not SET tmdb_id (__main__.py:333-341) — re-scraped rows must not
+        # wipe previously-identified TMDB ids with their fresh NULLs
+        merged = merge_upsert(
+            self.read(),
+            enriched,
+            key="id",
+            order_col="last_updated",
+            preserve=["tmdb_id"],
+        )
         merged = merged.cache()
         n = merged.count()
         self.table.commit(merged, tick=tick, metrics={"rows": n}, row_count=n)

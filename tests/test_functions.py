@@ -122,3 +122,33 @@ def test_canonicalize_dedups_variants():
     ]
     canon = {canonicalize_url_py(v) for v in variants}
     assert canon == {"https://example.com/a"}
+
+
+def test_identity_hashes_null_and_microsecond_fidelity(spark):
+    """movie_hash / showtime_id must be byte-equal to the reference's
+    f-string formulas (ref __main__.py:181-183, 425-428) including
+    f"{None}" -> "None" rendering and str(datetime) microseconds."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.functions.hashing import movie_hash, showtime_id
+
+    rows = [
+        # (shortcode, title, datetime, norm_title, description, image_src)
+        ("IC", "Amélie", datetime.datetime(2025, 8, 1, 18, 30, 0), "AMELIE", "desc", "img.jpg"),
+        # NULL description + image_src: the imageless-listing case
+        ("PC", "Dune", datetime.datetime(2025, 8, 2, 20, 0, 0), "DUNE", None, None),
+        # microsecond-bearing timestamp: str(datetime) keeps ".ffffff"
+        ("RG", "Heat", datetime.datetime(2025, 8, 3, 21, 15, 0, 123), "HEAT", "d", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "shortcode string, title string, dt timestamp_ntz, nt string, de string, im string"
+    ).select(
+        showtime_id(F.col("shortcode"), F.col("title"), F.col("dt")).alias("sid"),
+        movie_hash(F.col("nt"), F.col("de"), F.col("im")).alias("mh"),
+    )
+    got = df.collect()
+    for (sc, ti, dt, nt, de, im), r in zip(rows, got):
+        assert r["sid"] == get_hashed_py(f"{sc}-{ti}-{dt}")
+        assert r["mh"] == get_hashed_py(f"{nt}-{de}-{im}")

@@ -67,3 +67,55 @@ def test_identify_year_window(spark, store_df):
         pytest.skip("no fixture rows with release_year")
     updated, _ = identify_films(with_year, None, cands, current_year=1998)
     assert updated.filter(F.col("tmdb_id").isNotNull()).count() == 0
+
+
+def test_identify_fallback_without_exact_title(spark):
+    """A showtime with a release_year but zero exact-title candidates must
+    retry year-window-only retrieval (ref film_identification.py:213-216)."""
+    import pandas as pd
+
+    from cinescrapers_spark.images.ops import embed_text
+
+    st = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "id": "x1",
+                    "title": "The Substance",
+                    "norm_title": "THE SUBSTANCE",
+                    "description": "body horror",
+                    "image_src": None,
+                    "release_year": 1997,
+                    "tmdb_id": None,
+                }
+            ]
+        )
+    )
+    # candidate dim has NO row titled THE SUBSTANCE — only a same-era film
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "norm_title": "OTHER FILM",
+                    "cand_tmdb_id": 42,
+                    "cand_year": 1997,
+                    "text_emb": [float(x) for x in embed_text("body horror")],
+                    "img_emb": [float(x) for x in embed_text("poster")],
+                },
+                {
+                    "norm_title": "FAR ERA",
+                    "cand_tmdb_id": 43,
+                    "cand_year": 1950,  # outside year window: excluded
+                    "text_emb": [float(x) for x in embed_text("body horror")],
+                    "img_emb": [float(x) for x in embed_text("poster")],
+                },
+            ]
+        )
+    )
+    updated, cache = identify_films(st, None, cands, current_year=1997)
+    got = updated.collect()
+    assert len(got) == 1 and got[0]["tmdb_id"] == 42
+    # and a row with NO release_year must NOT take the fallback
+    st2 = st.withColumn("release_year", F.lit(None).cast("long"))
+    updated2, _ = identify_films(st2, None, cands, current_year=1997)
+    assert updated2.first()["tmdb_id"] is None

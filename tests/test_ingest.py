@@ -77,3 +77,45 @@ def test_current_showtimes_window_and_export(spark, tmp_path, site_dim):
     stats = store.stats(NOW)
     assert stats["total"] >= len(cur)
     assert stats["per_scraper"]
+
+
+def test_merge_preserves_tmdb_id_across_reingest(spark, tmp_path, site_dim):
+    """The reference's ON CONFLICT(id) DO UPDATE does not SET tmdb_id
+    (__main__.py:333-341): a re-scrape (fresh rows carry tmdb_id=NULL)
+    must not wipe previously-identified ids."""
+    pages_df, _ = _pages_df(spark)
+    store = ShowtimesStore(spark, str(tmp_path / "st"), site_dim)
+    store.ingest_pages(pages_df, now=NOW, tick=1)
+
+    # simulate identification: stamp a tmdb_id on every row, re-commit
+    identified = store.read().withColumn(
+        "tmdb_id", F.pmod(F.xxhash64("id"), F.lit(100000)).cast("int")
+    )
+    store.table.commit(identified, tick=2, row_count=identified.count())
+    n_ids = store.read().filter(F.col("tmdb_id").isNotNull()).count()
+    assert n_ids > 0
+
+    # re-ingest the same pages (tmdb_id=NULL on every fresh row)
+    store.ingest_pages(pages_df, now=NOW + datetime.timedelta(days=1), tick=3)
+    after = store.read()
+    assert after.filter(F.col("tmdb_id").isNotNull()).count() == n_ids
+    # and the refresh still applied (last_updated moved)
+    assert (
+        after.agg(F.max("last_updated")).first()[0]
+        == NOW + datetime.timedelta(days=1)
+    )
+
+
+def test_merge_tiebreak_is_content_deterministic(spark):
+    """Two updates with the same key and equal order_col must pick a stable
+    winner regardless of partitioning/arrival order (SURVEY §7.3)."""
+    from cinescrapers_spark.operators.merge import latest_per_key
+
+    rows = [("k", 1, "alpha"), ("k", 1, "beta"), ("k", 1, "gamma")]
+    base = spark.createDataFrame(rows, "id string, last_updated int, payload string")
+    winners = set()
+    for nparts in (1, 2, 3):
+        got = latest_per_key(base.repartition(nparts), "id", "last_updated").collect()
+        assert len(got) == 1
+        winners.add(got[0]["payload"])
+    assert len(winners) == 1, f"tiebreak unstable across partitionings: {winners}"

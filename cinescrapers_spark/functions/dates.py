@@ -13,9 +13,14 @@ Everything is tz-naive London wall time (TimestampNTZ end-to-end).
 from __future__ import annotations
 
 import datetime as _dt
+import re as _re
+
+import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from cinescrapers_spark.functions.udf import lazy_pandas_udf
 
 RELEASE_YEAR_RE = r"\b((19\d{2})|(20[0-2]\d))\b"  # ref utils.py:9
 
@@ -41,6 +46,107 @@ def year_rollover(parsed: Column, now: _dt.datetime) -> Column:
         )
         return F.when(F.month(parsed) < 3, bumped).otherwise(parsed)
     return parsed
+
+
+# --------------------------------------------------------------------------
+# free-text date parsing — the sandbox stand-in for dateparser
+# --------------------------------------------------------------------------
+# ~12 reference scrapers parse listing dates like "Fri 18 Jul 18:30" via
+# dateparser (ica/scrape.py:67, genesis/scrape.py:75, kiln via
+# parse_date_without_year, utils.py:16-25). No dateparser lib exists here,
+# so this is a deterministic pattern-table parser covering those shapes:
+# optional weekday, day + month name (either order), optional 4-digit year,
+# optional HH:MM / h.MMam/pm / h(am|pm) time. Dates without a year land in
+# the injected `now`'s year with the utils.py:23-24 rollover applied.
+
+_MONTHS = {}
+for _i, _names in enumerate(
+    [
+        ("jan", "january"), ("feb", "february"), ("mar", "march"),
+        ("apr", "april"), ("may",), ("jun", "june"), ("jul", "july"),
+        ("aug", "august"), ("sep", "sept", "september"), ("oct", "october"),
+        ("nov", "november"), ("dec", "december"),
+    ],
+    start=1,
+):
+    for _n in _names:
+        _MONTHS[_n] = _i
+
+_WEEKDAYS = {
+    "mon", "monday", "tue", "tues", "tuesday", "wed", "weds", "wednesday",
+    "thu", "thur", "thurs", "thursday", "fri", "friday", "sat", "saturday",
+    "sun", "sunday",
+}
+_ORDINAL_RE = _re.compile(r"\b(\d{1,2})(st|nd|rd|th)\b")
+_TIME_RE = _re.compile(r"^(\d{1,2})(?:[:.](\d{2}))?(am|pm)?$")
+
+
+def parse_freetext_datetime_py(
+    s: str | None, now: _dt.datetime
+) -> _dt.datetime | None:
+    """Parse a free-text listing date; None when the shape is not covered
+    (the reference raises ScrapingError there, ica/scrape.py:68-69)."""
+    if not s:
+        return None
+    t = _ORDINAL_RE.sub(r"\1", s.strip().lower().replace(",", " "))
+    day = month = year = None
+    hour = minute = 0
+    saw_time = False
+    for tok in t.split():
+        if tok in _WEEKDAYS:
+            continue
+        if tok in _MONTHS:
+            if month is not None:
+                return None
+            month = _MONTHS[tok]
+            continue
+        if _re.fullmatch(r"\d{4}", tok):
+            if year is not None:
+                return None
+            year = int(tok)
+            continue
+        m = _TIME_RE.fullmatch(tok)
+        if m and (m.group(2) or m.group(3)):  # has :MM or am/pm → a time
+            if saw_time:
+                return None
+            hour = int(m.group(1))
+            minute = int(m.group(2) or 0)
+            if m.group(3) == "pm" and hour < 12:
+                hour += 12
+            elif m.group(3) == "am" and hour == 12:
+                hour = 0
+            saw_time = True
+            continue
+        if _re.fullmatch(r"\d{1,2}", tok) and day is None:
+            day = int(tok)
+            continue
+        return None  # unrecognized token: refuse rather than guess
+    if month is None or day is None:
+        return None
+    no_year = year is None
+    if no_year:
+        year = now.year
+    try:
+        parsed = _dt.datetime(year, month, day, hour, minute)
+    except ValueError:
+        return None
+    # utils.py:23-24: a year-less date parsed late in the year (now.month>6)
+    # with an early parsed month (<3) belongs to next year
+    if no_year and now.month > 6 and parsed.month < 3:
+        parsed = parsed.replace(year=now.year + 1)
+    return parsed
+
+
+@lazy_pandas_udf("timestamp_ntz")
+def _freetext_dt_udf(s: pd.Series, now_iso: pd.Series) -> pd.Series:
+    now = _dt.datetime.fromisoformat(now_iso.iloc[0]) if len(now_iso) else None
+    return s.map(lambda x: parse_freetext_datetime_py(x, now))
+
+
+def freetext_datetime_col(col: Column, now: _dt.datetime) -> Column:
+    """Column form of the free-text parser with an injected clock (never
+    wall-clock inside a plan — determinism is a schema property)."""
+    return _freetext_dt_udf(col, F.lit(now.isoformat()))
 
 
 def to_naive_london(ts_utc: Column) -> Column:

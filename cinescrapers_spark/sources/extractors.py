@@ -20,6 +20,7 @@ Family → reference exemplar:
 
 from __future__ import annotations
 
+import datetime
 import re
 from collections.abc import Callable, Iterator
 
@@ -34,8 +35,21 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-from cinescrapers_spark.functions.dates import release_year_col
+from cinescrapers_spark.functions.dates import (
+    parse_freetext_datetime_py,
+    release_year_col,
+    year_rollover,
+)
 from cinescrapers_spark.functions.text import html_unescape_udf
+
+# Injected clock for fixture/test paths (the fixture epoch). Every extractor
+# takes ``now`` explicitly — wall-clock never appears inside a plan.
+DEFAULT_NOW = datetime.datetime(1998, 8, 1)
+
+# kiln strips a rating suffix like " (PG)" from titles before anything else
+# (ref scrapers/kiln/scrape.py:12,69-71)
+_RATING_RE = re.compile(r"^(?P<title>.*) \([^\)]+\)$")
+RATING_SUFFIX_SITES = {"kiln"}
 
 # extractor output = ShowTime minus cinema_shortcode (joined from the site
 # dimension afterwards), plus the page url for lineage
@@ -66,7 +80,9 @@ _EVENTS_SCHEMA = (
 )
 
 
-def extract_events_json(pages: DataFrame) -> DataFrame:
+def extract_events_json(
+    pages: DataFrame, now: datetime.datetime = DEFAULT_NOW
+) -> DataFrame:
     blob = F.regexp_extract(F.col("body"), r"Events\s*=\s*(\{.*\})", 1)
     ev = (
         pages.withColumn("__j", F.from_json(blob, _EVENTS_SCHEMA))
@@ -106,7 +122,10 @@ def _meta(prop: str):
     )
 
 
-def extract_og_meta_h2(pages: DataFrame, now_year: int = 1998) -> DataFrame:
+def extract_og_meta_h2(
+    pages: DataFrame, now: datetime.datetime = DEFAULT_NOW
+) -> DataFrame:
+    now_year = now.year
     base = pages.select(
         "url",
         "site",
@@ -126,15 +145,16 @@ def extract_og_meta_h2(pages: DataFrame, now_year: int = 1998) -> DataFrame:
             "d MMM HH:mm yyyy",
         ),
     )
-    # year-rollover rule (utils.py:23-24): parsed month <3 while now.month>6
-    # is only applied when benching a late-year `now`; with now_year fixed we
-    # keep the raw parse (tests inject both cases explicitly)
+    # year-rollover rule (utils.py:23-24): a year-less slot parsed late in
+    # the year (now.month>6) with an early month (<3) belongs to next year —
+    # the January-listing-scraped-in-November case
+    rolled = year_rollover(F.col("dt_raw"), now)
     return ex.select(
         "url",
         "site",
         "title",
         F.coalesce("link", "url").alias("link"),
-        F.col("dt_raw").cast("timestamp_ntz").alias("datetime"),
+        rolled.cast("timestamp_ntz").alias("datetime"),
         "description",
         "image_src",
         release_year_col(F.col("description")).alias("release_year"),
@@ -151,7 +171,9 @@ _LD_SCHEMA = (
 )
 
 
-def extract_json_ld(pages: DataFrame) -> DataFrame:
+def extract_json_ld(
+    pages: DataFrame, now: datetime.datetime = DEFAULT_NOW
+) -> DataFrame:
     scripts = F.expr(
         r"""regexp_extract_all(body,
             '<script type="application/ld\\+json">(.*?)</script>', 1)"""
@@ -176,7 +198,9 @@ def extract_json_ld(pages: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # calendar_table — "%d.%m.%y %I:%M %p" cells (close_up_film_centre:74-76)
 # --------------------------------------------------------------------------
-def extract_calendar_table(pages: DataFrame) -> DataFrame:
+def extract_calendar_table(
+    pages: DataFrame, now: datetime.datetime = DEFAULT_NOW
+) -> DataFrame:
     rows = F.expr(r"regexp_extract_all(body, '<tr class=.day.>(.*?)</tr>', 1)")
     ex = pages.select("url", "site", F.explode(rows).alias("row"))
     parsed = F.to_timestamp(
@@ -212,29 +236,40 @@ _CARD_RE = re.compile(
 )
 _ARTICLE_RE = re.compile(
     r"<article>.*?<h3>(?P<title>[^<]*)</h3>.*?"
-    r'<a href="(?P<link>[^"]*)".*?<time datetime="(?P<dt>[^"]*)">.*?</a>'
+    r'<a href="(?P<link>[^"]*)".*?'
+    r'<time(?: datetime="(?P<dt>[^"]*)")?>(?P<dttext>[^<]*)</time>.*?</a>'
     r'(?:<p class="desc">(?P<desc>[^<]*)</p>)?.*?</article>',
     re.S,
 )
 
 
-def _dom_extractor(pattern: re.Pattern) -> Callable[[DataFrame], DataFrame]:
-    def run(pages: DataFrame) -> DataFrame:
+def _dom_extractor(pattern: re.Pattern) -> Callable[..., DataFrame]:
+    def run(pages: DataFrame, now: datetime.datetime = DEFAULT_NOW) -> DataFrame:
         def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 out = []
                 for url, site, body in zip(pdf["url"], pdf["site"], pdf["body"]):
                     if not body:
                         continue
+                    strip_rating = site in RATING_SUFFIX_SITES
                     for m in pattern.finditer(body):
                         g = m.groupdict()
+                        title = g.get("title")
+                        if strip_rating and title:
+                            rm = _RATING_RE.match(title)
+                            if rm:
+                                title = rm.group("title")
+                        if g.get("dt"):  # machine-readable attr: ISO parse
+                            dt = pd.to_datetime(g["dt"], errors="coerce")
+                        else:  # free-text date (the dateparser call sites)
+                            dt = parse_freetext_datetime_py(g.get("dttext"), now)
                         out.append(
                             {
                                 "url": url,
                                 "site": site,
-                                "title": g.get("title"),
+                                "title": title,
                                 "link": g.get("link"),
-                                "datetime": pd.to_datetime(g.get("dt"), errors="coerce"),
+                                "datetime": dt,
                                 "description": g.get("desc"),
                                 "image_src": g.get("img"),
                                 "release_year": None,
@@ -263,11 +298,15 @@ EXTRACTORS: dict[str, Callable[[DataFrame], DataFrame]] = {
 }
 
 
-def extract_showtimes(pages: DataFrame) -> DataFrame:
+def extract_showtimes(
+    pages: DataFrame, now: datetime.datetime = DEFAULT_NOW
+) -> DataFrame:
     """Dispatch pages to their family extractor and union the results —
-    the registry dispatch mirror of get_scrapers (__main__.py:38-66)."""
+    the registry dispatch mirror of get_scrapers (__main__.py:38-66).
+    ``now`` is the injected clock for year-less date parses (rollover)."""
     parts = [
-        fn(pages.filter(F.col("family") == fam)) for fam, fn in EXTRACTORS.items()
+        fn(pages.filter(F.col("family") == fam), now=now)
+        for fam, fn in EXTRACTORS.items()
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -161,8 +161,11 @@ def gen_paginated_cards(site: str, i: int) -> tuple[str, list[dict]]:
         link = f"https://{site}.example.com/whats-on/{i}-{j}"
         img = f"https://{site}.example.com/c/{i}-{j}.jpg" if j == 0 else None
         img_tag = f'<img src="{img}">' if img else ""
+        # kiln renders a rating suffix the extractor must strip
+        # (ref kiln/scrape.py:12,69-71); expected title stays bare
+        shown = f"{title} (PG)" if site == "kiln" else title
         cards.append(
-            f'<div class="card"><h3>{title}</h3>'
+            f'<div class="card"><h3>{shown}</h3>'
             f'<a href="{link}" datetime="{d.isoformat()}">book</a>{img_tag}</div>'
         )
         expected.append(
@@ -186,9 +189,16 @@ def gen_bespoke_dom(site: str, i: int) -> tuple[str, list[dict]]:
         link = f"/event/{i}/{j}"
         desc = f"About {title}" if j == 0 else None
         desc_tag = f'<p class="desc">{desc}</p>' if desc else ""
+        # ica renders free-text dates the reference feeds to dateparser
+        # (ica/scrape.py:67): no machine-readable datetime attribute
+        if site == "ica":
+            freetext = d.strftime("%a %d %b %H:%M").replace(" 0", " ")
+            time_tag = f"<time>{freetext}</time>"
+        else:
+            time_tag = f'<time datetime="{d.isoformat()}">{d}</time>'
         arts.append(
             f'<article><h3>{title}</h3><a href="{link}">'
-            f'<time datetime="{d.isoformat()}">{d}</time></a>{desc_tag}</article>'
+            f"{time_tag}</a>{desc_tag}</article>"
         )
         expected.append(
             {

@@ -86,7 +86,7 @@ class ShowtimesStore:
         tick: int,
         images: DataFrame | None = None,
     ) -> int:
-        extracted = extract_showtimes(pages)
+        extracted = extract_showtimes(pages, now=now)
         with_code = extracted.join(
             F.broadcast(self.site_dim), "site", "inner"
         )  # FK join replaces the assert (ref __main__.py:384-385)

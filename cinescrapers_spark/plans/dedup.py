@@ -33,6 +33,13 @@ TOKEN_SPLIT = "[^a-z0-9]+"
 MINHASH_K = 16
 LSH_BANDS = 8
 LSH_ROWS = 2
+# Pair generation inside one band bucket is quadratic in bucket size: a
+# boilerplate-heavy corpus (one near-identical template in millions of docs)
+# creates mega-buckets that turn the band join into n². Buckets above this
+# cap are excluded from pair generation (their pairs usually surface via
+# another band; lsh_oversized_buckets reports what was skipped — no silent
+# truncation). Testdata buckets are tiny, so the default never fires there.
+LSH_BUCKET_CAP = 1000
 
 
 def _tokens(col):
@@ -104,20 +111,11 @@ def minhash_signature(tokens_col, k: int = MINHASH_K):
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """documents(doc_id, source, toks) → candidate id-pairs via LSH banding.
-
-    Shuffle key = (source, band_id, band_hash): rows agreeing on one full
-    band collide in a bucket; pairs are generated per bucket. Cost is
-    rows × bands, never O(n²) — this is the 100 TB plan shape.
-
-    Only (doc_id, band) rows travel through the band shuffle and the pair
-    dedup — token arrays stay home and are re-joined by the verifier
-    (shipping arrays through an 8× explode was a measured 50× slowdown at
-    sf0.1).
-    """
+def _bands(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, source, toks) → one row per (doc, band) with the
+    band's hash — the LSH banding shuffle key."""
     sig = docs.withColumn("sig", minhash_signature(F.col("toks")))
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         "source",
         F.explode(
@@ -134,6 +132,36 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "source", "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP
+) -> DataFrame:
+    """documents(doc_id, source, toks) → candidate id-pairs via LSH banding.
+
+    Shuffle key = (source, band_id, band_hash): rows agreeing on one full
+    band collide in a bucket; pairs are generated per bucket. Cost is
+    rows × bands, never O(n²) — this is the 100 TB plan shape.
+
+    Only (doc_id, band) rows travel through the band shuffle and the pair
+    dedup — token arrays stay home and are re-joined by the verifier
+    (shipping arrays through an 8× explode was a measured 50× slowdown at
+    sf0.1).
+
+    ``bucket_cap`` bounds the quadratic pair blowup inside a single bucket
+    (mega-bucket skew kill); skipped buckets are reported by
+    ``lsh_oversized_buckets`` with the same cap.
+    """
+    from pyspark.sql import Window
+
+    bands = _bands(docs)
+    if bucket_cap:
+        wb = Window.partitionBy("source", "band_id", "band_hash")
+        bands = (
+            bands.withColumn("__bn", F.count("*").over(wb))
+            .filter(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -150,6 +178,20 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
         )
         .dropDuplicates(["source", "doc_a", "doc_b"])
+    )
+
+
+def lsh_oversized_buckets(
+    docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """The buckets the cap excluded from pair generation — surface these as
+    a metric next to any capped LSH run (coverage must never silently
+    shrink). Columns: source, band_id, band_hash, bucket_size."""
+    return (
+        _bands(docs)
+        .groupBy("source", "band_id", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > bucket_cap)
     )
 
 

@@ -68,10 +68,12 @@ def q_images_caption_norm(spark: SparkSession, sf: str) -> DataFrame:
 def q_images_embed_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Image-embedding ANN: embed every image (histogram→projection UDF),
     brute-force cosine top-3 neighbors for the first 3 images."""
-    from pyspark.sql import Window
-
     from cinescrapers_spark.images.ops import embed_image_udf
-    from cinescrapers_spark.plans.similarity import _as_double, cosine
+    from cinescrapers_spark.plans.similarity import (
+        _as_double,
+        cosine,
+        partitioned_topk,
+    )
 
     emb = _images(spark).select(
         "image_id", embed_image_udf(F.col("bytes"), F.col("fmt")).alias("emb")
@@ -83,12 +85,9 @@ def q_images_embed_ann(spark: SparkSession, sf: str) -> DataFrame:
     scored = cands.join(F.broadcast(first3), F.col("image_id") != F.col("q_id")).select(
         "q_id", "image_id", cosine(F.col("c_emb"), F.col("q_emb")).alias("cos_raw")
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("image_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("q_id", "image_id", F.round("cos_raw", 4).alias("cosine"))
-    )
+    return partitioned_topk(
+        scored, ["q_id"], [F.desc("cos_raw"), F.asc("image_id")], 3
+    ).select("q_id", "image_id", F.round("cos_raw", 4).alias("cosine"))
 
 
 QUERIES = {

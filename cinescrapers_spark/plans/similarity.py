@@ -57,17 +57,43 @@ def q_embed_norms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def partitioned_topk(scored: DataFrame, keys: list, order_cols: list, k: int) -> DataFrame:
+    """Scale-safe exact top-k per key: partial top-k per (key, input
+    partition) first, then the global per-key window over the ≤ k ×
+    n_partitions survivors.
+
+    A bare ``Window.partitionBy(key)`` with few keys funnels EVERY scored
+    row through len(keys) reducers — at 10^10 candidates that is a handful
+    of reducers doing all the work. The pre-pass spreads the same shuffle
+    over keys × input-partitions reducers and discards all but k rows per
+    group, so the final window's exchange is bounded by k × n_partitions
+    per key. Exact: a member of the global top-k is in its own partition's
+    top-k, so the pre-pass never drops a final-answer row. Adds ``rn``.
+    """
+    from pyspark.sql import Window
+
+    pre = scored.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy(*keys, "__pid").orderBy(*order_cols)
+    survivors = (
+        pre.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__pid")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_cols)
+    return survivors.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= k
+    )
+
+
 def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Plan shape for scale: the small query side is broadcast; the candidate
-    scan is embarrassingly parallel; per-query top-k via window over the
-    (tiny) q_id partitions. At 10^10 candidates this plan still holds —
-    the only shuffle is the final top-k, which AQE keeps proportional to
-    k × queries.
+    scan is embarrassingly parallel; per-query top-k via partitioned_topk —
+    a partial per-partition top-k bounds the final window's exchange to
+    k × n_partitions rows per query instead of shipping every scored
+    candidate into N_QUERIES reducers.
     """
-    from pyspark.sql import Window
-
     emb = load(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), _as_double(F.col("embedding")).alias("q_emb")
@@ -78,24 +104,22 @@ def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     scored = c.join(F.broadcast(q)).select(
         "q_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("cos_raw")
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOPK)
-        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cosine"))
-    )
+    return partitioned_topk(
+        scored, ["q_id"], [F.desc("cos_raw"), F.asc("vec_id")], TOPK
+    ).select("q_id", "vec_id", F.round("cos_raw", 4).alias("cosine"))
 
 
-def hyperplane_signature(vec_col, dim: int, planes: int = LSH_PLANES):
+def hyperplane_signature(vec_col, planes: int = LSH_PLANES):
     """Random-hyperplane LSH signature: bit_p = sign(v · h_p), with h_p a
     deterministic pseudo-random ±1 vector derived from xxhash64(p, i).
-    All JVM-side; no stored model."""
+    All JVM-side; no stored model; the dimension comes from size(vec) per
+    row (no driver-side .first() probe in plan construction)."""
     bits = []
     for p in range(planes):
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
                 lambda x, i: x
                 * F.when(
                     F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
@@ -116,14 +140,11 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN: candidates share a hyperplane-signature bucket with
     the query; exact cosine re-rank inside buckets. Recall < 1 by design —
     pytest measures it against q_ann_bruteforce; no SQL oracle."""
-    from pyspark.sql import Window
-
     emb = load(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     sig = emb.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("emb"),
-        hyperplane_signature(_as_double(F.col("embedding")), dim).alias("sig"),
+        hyperplane_signature(_as_double(F.col("embedding"))).alias("sig"),
     )
     # band the signature: 4 bands × 3 bits; a candidate is considered if ANY
     # band matches the query's band (OR-of-ANDs LSH amplification)
@@ -162,19 +183,15 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .dropDuplicates(["q_id", "vec_id"])
         .select("q_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("cos_raw"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOPK)
-        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cosine"))
-    )
+    return partitioned_topk(
+        scored, ["q_id"], [F.desc("cos_raw"), F.asc("vec_id")], TOPK
+    ).select("q_id", "vec_id", F.round("cos_raw", 4).alias("cosine"))
 
 
 def q_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label mean-vector norm — grouped array aggregation via
     element-wise zip_with fold (the embedding-rollup pattern)."""
     emb = load(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     v = _as_double(F.col("embedding"))
     # sum vectors per label: aggregate over collected element columns —
     # element-wise mean via posexplode keeps it relational (no UDF)

@@ -78,3 +78,71 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for d, n in exact.items():
         assert abs(approx[d] - n) <= max(3, 0.1 * n), (d, n, approx[d])
+
+
+def test_partitioned_topk_exact_and_bounded(spark):
+    """partitioned_topk must equal the naive single-window top-k on every
+    partitioning, and its final exchange must be bounded by k×partitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.plans.similarity import partitioned_topk
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("key"),
+        F.col("id").alias("vid"),
+        (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 10_000.0).alias("score"),
+    )
+    order = [F.desc("score"), F.asc("vid")]
+    w = Window.partitionBy("key").orderBy(*order)
+    naive = {
+        (r.key, r.vid)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    }
+    for nparts in (1, 4, 13):
+        got = {
+            (r.key, r.vid)
+            for r in partitioned_topk(df.repartition(nparts), ["key"], order, 7)
+            .collect()
+        }
+        assert got == naive, f"partitioned_topk diverged at nparts={nparts}"
+
+
+def test_lsh_bucket_cap_skew_kill(spark):
+    """A mega-bucket (boilerplate corpus) must be excluded from pair
+    generation when over the cap, reported by lsh_oversized_buckets, and
+    the cap must be a no-op on a healthy corpus."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.plans.dedup import (
+        _tokens,
+        lsh_candidate_pairs,
+        lsh_oversized_buckets,
+    )
+
+    # 40 identical boilerplate docs (one bucket per band of size 40) + 2
+    # genuine near-dups with distinct text
+    rows = [{"doc_id": i, "source": "s", "text": "the same boilerplate template text"} for i in range(40)]
+    rows += [
+        {"doc_id": 100, "source": "s", "text": "unique alpha beta gamma delta epsilon"},
+        {"doc_id": 101, "source": "s", "text": "unique alpha beta gamma delta zeta"},
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows)).select(
+        "doc_id", "source", _tokens(F.col("text")).alias("toks")
+    )
+
+    uncapped = lsh_candidate_pairs(docs, bucket_cap=None)
+    assert uncapped.count() == 40 * 39 // 2 + 1  # quadratic blowup + the pair
+
+    capped = lsh_candidate_pairs(docs, bucket_cap=10)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(100, 101)}, "capped run must keep healthy-bucket pairs only"
+
+    over = lsh_oversized_buckets(docs, bucket_cap=10)
+    assert over.count() > 0 and over.agg({"bucket_size": "max"}).first()[0] == 40
+
+    # cap far above any bucket: identical output to uncapped
+    assert lsh_candidate_pairs(docs, bucket_cap=1000).count() == uncapped.count()

@@ -37,16 +37,21 @@ def main() -> None:
     from cinescrapers_spark.dims import hosts_df
     from cinescrapers_spark.session import get_spark
 
-    # local-cluster[N,4,mem]: N real executor JVMs × 4 cores — the honest
+    # local-cluster[N,2,mem]: N real executor JVMs × 2 cores — the honest
     # stand-in for "N vs 4N executors" (single-JVM local[k] conflates all
     # executors into one heap, whose GC/scheduler contention inverts
-    # scaling measurements; measured: local[32] slower than local[8]).
+    # scaling measurements). The pair is 1 vs 4 executors = 2 vs 8 cores:
+    # this VM's 32 vCPUs are backed by ~12-16 physical cores' worth of
+    # cycles (measured: a pure spin loop scales 8→32 procs at only ~0.6),
+    # so 8-vs-32 scaling is hardware-capped below any software's reach,
+    # while 2-vs-8 stays inside the machine's real capacity (spin loop
+    # 0.84) — see BASELINE.md §C/§D.
     os.environ.setdefault("SPARK_HOME", "/opt/spark")
-    n_exec = max(1, args.cpus // 4)
+    n_exec = max(1, args.cpus // 2)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = get_spark(
         app_name=f"bench-crawl-{args.cpus}",
-        master=f"local-cluster[{n_exec},4,6144]",
+        master=f"local-cluster[{n_exec},2,6144]",
         shuffle_partitions=args.cpus * 2,
         extra_conf={
             "spark.executor.memory": "5g",

@@ -9,19 +9,27 @@ snapshot tables:
 Frontier storage is **merge-on-read** (the Iceberg MOR / LSM shape): each
 tick writes only its CHANGES — a marks delta (per-fetch state updates) and
 an adds delta (new unseen rows) — and the full table is reconstructed on
-read as ``base ∪ adds`` patched by latest-wins marks. A compaction every
-``compact_every`` ticks folds deltas into a new base checkpoint. Per-tick
-write cost is O(changes), not O(frontier) — the property that survives a
-10^10-row frontier (a full rewrite per tick would be the bottleneck there,
-and measurably dominated tick wall-clock even at 10^6 locally).
+read as ``base ∪ adds`` patched by latest-wins marks. The seen set commits
+the same way (per-tick runs of fresh keys, crawl/seen.py). A compaction
+every ``compact_every`` ticks folds deltas into a new base checkpoint.
+Per-tick write cost is O(changes), not O(frontier) — the property that
+survives a 10^10-row frontier.
 
-Every tick commits delta + seen-shard snapshots with per-partition lineage
-and fetch/parse/dedup metrics → the crawl is resumable from any tick (kill
-+ restart reads the latest manifests), per north_rule.
+Crash safety: every per-tick commit is **idempotent per (tick, table)** and
+every per-tick read is **as-of the parent tick**, so a tick interrupted
+between commits is simply re-run — it recomputes byte-identical deltas
+(deterministic schedule + deterministic fetch model) and each table skips
+the commits that already landed. Resumable from ANY point, not just tick
+boundaries (north_rule resumability; tested by killing mid-tick).
+
+Per-tick metrics (scheduled/failed/items/links) are recovered driver-side
+from the written marks parquet via pyarrow footers+columns — scheduling a
+Spark aggregation job per tick was measured per-tick overhead.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -31,6 +39,8 @@ from pyspark.sql import functions as F
 
 from cinescrapers_spark.crawl.frontier import (
     DEFAULT_SALTS,
+    MAX_RETRIES,
+    STALENESS_TICKS,
     init_frontier,
     schedule_tick,
 )
@@ -54,6 +64,7 @@ class CrawlEngine:
         max_per_tick: int = 25,
         light_metrics: bool = False,
         compact_every: int = 8,
+        staleness_ticks: int = STALENESS_TICKS,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -65,6 +76,13 @@ class CrawlEngine:
         # (bench mode); full mode keeps the exact dedup_dropped metric
         self.light_metrics = light_metrics
         self.compact_every = compact_every
+        self.staleness_ticks = staleness_ticks
+        # robots dimension: disallow-prefix filter applied before scheduling
+        self.robots = (
+            hosts.select("host", "robots_disallow")
+            if "robots_disallow" in hosts.columns
+            else None
+        )
         self.base_table = SnapshotTable(os.path.join(workdir, "frontier"))
         self.adds_table = SnapshotTable(os.path.join(workdir, "frontier_adds"))
         self.marks_table = SnapshotTable(os.path.join(workdir, "frontier_marks"))
@@ -83,17 +101,26 @@ class CrawlEngine:
         frontier = frontier.cache()
         n = frontier.count()
         self.seen.add(frontier.select("url_hash"), tick=0)
-        self.base_table.commit(frontier, tick=0, metrics={"seeded": n}, row_count=n)
+        self.base_table.commit(
+            frontier, tick=0, metrics={"seeded": n}, row_count=n, idempotent=True
+        )
         frontier.unpersist()
         return {"tick": 0, "seeded": n}
 
+    def _max_tick(self, table: SnapshotTable, default: int = 0) -> int:
+        latest = table.latest()
+        return latest["tick"] if latest else default
+
     def current_tick(self) -> int:
-        ticks = [-1]
-        for table in (self.base_table, self.marks_table):
-            latest = table.latest()
-            if latest:
-                ticks.append(latest["tick"])
-        return max(ticks)
+        """Last COMPLETE tick: the min across the three per-tick tables —
+        a crash between commits leaves a partial tick, which re-runs."""
+        if self.base_table.latest() is None:
+            return -1  # not bootstrapped
+        return min(
+            self._max_tick(self.marks_table),
+            self._max_tick(self.adds_table),
+            self._max_tick(self.seen.table),
+        )
 
     # -- merge-on-read reconstruction -------------------------------------------
     def _entries_upto(self, table: SnapshotTable, lo: int, hi: int) -> list[dict]:
@@ -117,7 +144,7 @@ class CrawlEngine:
         if mark_entries:
             marks = self.spark.read.parquet(
                 *[self.marks_table.snapshot_dir(e["snapshot_id"]) for e in mark_entries]
-            )
+            ).select("m_hash", "m_state", "m_last_fetch_tick", "m_retries", "m_tick")
             w = Window.partitionBy("m_hash").orderBy(F.desc("m_tick"))
             latest = (
                 marks.withColumn("__r", F.row_number().over(w))
@@ -138,23 +165,35 @@ class CrawlEngine:
     def frontier(self) -> DataFrame:
         return self.frontier_at(self.current_tick())
 
-    def _frontier_row_count(self) -> int:
+    def _frontier_row_count(self, tick: int | None = None) -> int:
         bases = self.base_table.manifest()
+        if tick is not None:
+            bases = [e for e in bases if e["tick"] <= tick]
         base = bases[-1]
-        adds = self._entries_upto(self.adds_table, base["tick"], 10**9)
+        adds = self._entries_upto(
+            self.adds_table, base["tick"], tick if tick is not None else 10**9
+        )
         return base["row_count"] + sum(e["row_count"] for e in adds)
 
     # -- one tick ----------------------------------------------------------------
     def tick(self) -> dict:
-        """Run the next tick; returns its metrics dict."""
+        """Run the next tick; returns its metrics dict. Every read is as-of
+        tick-1 and every commit is idempotent per (tick, table), so a
+        partially-committed tick re-runs to the identical result."""
         t = self.current_tick() + 1
         t0 = time.time()
+        timings: dict[str, float] = {}
         frontier = self.frontier_at(t - 1)
 
         # 1. politeness-scheduled fetch set (deterministic top-budget per
         #    host) + fetch+parse+expand in ONE fused Arrow kernel
         sched = schedule_tick(
-            frontier, t, tick_seconds=self.tick_seconds, max_per_tick=self.max_per_tick
+            frontier,
+            t,
+            tick_seconds=self.tick_seconds,
+            max_per_tick=self.max_per_tick,
+            staleness_ticks=self.staleness_ticks,
+            robots=self.robots,
         )
         fetched = (
             sched.withColumn("__f", fetch_parse_expand_udf(F.col("url_norm")))
@@ -167,19 +206,39 @@ class CrawlEngine:
             )
             .cache()
         )
-        agg = fetched.agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("nf"),
-            F.sum("__n_items").alias("ni"),
-            F.sum(F.size("__outlinks")).alias("nl"),
-        ).first()
-        n_sched, n_fail = int(agg["n"]), int(agg["nf"] or 0)
-        n_items = int(agg["ni"] or 0)
-        n_links = int(agg["nl"] or 0)  # raw discovered links (pre-dedup)
+
+        # 2. marks delta: absolute per-URL state after this fetch, plus the
+        #    per-URL item/link counts the tick metrics need (read back
+        #    driver-side from the written parquet — no aggregation job)
+        # state machine: success resets the retry counter; failure
+        # increments it and drops the row out permanently at MAX_RETRIES
+        # (the reference's retry taxonomy, exceptions.py:1-12, generalized)
+        marks = fetched.select(
+            F.col("url_hash").alias("m_hash"),
+            F.when(F.col("__ok"), F.lit("fetched"))
+            .when(F.col("retries") + 1 >= MAX_RETRIES, F.lit("failed_permanent"))
+            .otherwise(F.lit("failed"))
+            .alias("m_state"),
+            F.lit(t).alias("m_last_fetch_tick"),
+            F.when(F.col("__ok"), F.lit(0))
+            .otherwise(F.col("retries") + 1)
+            .alias("m_retries"),
+            F.lit(t).alias("m_tick"),
+            F.col("__n_items").alias("m_items"),
+            F.size("__outlinks").alias("m_links"),
+        )
+        tj = time.time()
+        marks_info = self.marks_table.commit(
+            marks, tick=t, row_count=-1, idempotent=True
+        )
+        timings["sched_fetch_marks"] = time.time() - tj
+        n_sched, n_fail, n_items, n_links = self._marks_stats(marks_info.snapshot_id)
 
         discovered = fetched.select(F.explode("__outlinks").alias("url"))
 
-        # 2. frontier-shape the discoveries (canonical-dedup within batch)
+        # 3. frontier-shape the discoveries. No groupBy dedup here: the
+        #    seen-probe cogroup shuffles by url_hash anyway and dedups
+        #    within-batch duplicates in the same pass (min-url exemplar).
         new_rows = init_frontier(
             self.spark,
             discovered,
@@ -187,41 +246,34 @@ class CrawlEngine:
             tick=t,
             n_salts=self.n_salts,
             already_canonical=True,
+            dedup=False,
         )
         if not self.light_metrics:
             new_rows = new_rows.cache()
-            n_discovered = new_rows.count()
+            n_discovered = new_rows.select("url_norm").distinct().count()
         else:
             n_discovered = n_links  # raw link count stands in (no extra job)
 
-        # 3. fused seen probe + insert: one cogroup shuffle yields both the
-        #    unseen rows and the updated shard blobs; the shard-snapshot
-        #    write materializes it, and n_new comes from parquet footers
-        #    (driver-side) instead of a count job
-        prev_total = self.seen.total_keys(self.spark)
+        # 4. fused seen probe + insert against state as-of t-1: one cogroup
+        #    shuffle yields both the unseen rows and this tick's run blobs
+        #    (touched shards only — O(new keys) write)
+        tj = time.time()
         unseen, new_shards, fused = self.seen.probe_and_add(new_rows, tick=t)
+        prev_total = self.seen.total_keys_as_of(t - 1)
         total = self.seen.commit_shards(new_shards, tick=t)
+        timings["probe_and_run_commit"] = time.time() - tj
         n_new = total - prev_total
 
-        # 4. delta commits: marks (absolute per-URL state after this fetch)
-        #    and adds (the unseen rows) — O(changes) writes
-        marks = fetched.select(
-            F.col("url_hash").alias("m_hash"),
-            F.when(F.col("__ok"), F.lit("fetched"))
-            .otherwise(F.lit("failed"))
-            .alias("m_state"),
-            F.lit(t).alias("m_last_fetch_tick"),
-            F.when(~F.col("__ok"), F.col("retries") + 1)
-            .otherwise(F.col("retries"))
-            .alias("m_retries"),
-            F.lit(t).alias("m_tick"),
-        )
-        self.marks_table.commit(marks, tick=t, row_count=n_sched)
+        # 5. adds delta: the unseen rows — O(changes) write
+        tj = time.time()
         self.adds_table.commit(
-            unseen.select(*_FRONTIER_COLS), tick=t, row_count=n_new
+            unseen.select(*_FRONTIER_COLS),
+            tick=t,
+            row_count=n_new,
+            idempotent=True,
         )
+        timings["adds_commit"] = time.time() - tj
 
-        wall = time.time() - t0
         metrics = {
             "tick": t,
             "scheduled": n_sched,
@@ -233,27 +285,54 @@ class CrawlEngine:
             "dedup_dropped": n_discovered - n_new,
             "sched_and_dedup_urls": n_sched + n_links,
             "frontier_rows": self._frontier_row_count(),
-            "wall_sec": round(wall, 3),
         }
 
-        # 5. periodic compaction: fold deltas into a fresh base checkpoint
+        # 6. periodic compaction: fold deltas into fresh base checkpoints
+        #    (frontier AND seen set) — amortized O(frontier / compact_every)
         if self.compact_every and t % self.compact_every == 0:
+            tj = time.time()
             compacted = self.frontier_at(t)
             self.base_table.commit(
                 compacted,
                 tick=t,
                 metrics={"compaction": True},
                 row_count=self._frontier_row_count(),
+                tag="compaction",
+                idempotent=True,
             )
+            self.seen.compact(self.spark, tick=t)
+            timings["compaction"] = time.time() - tj
             metrics["compacted"] = True
 
         metrics["wall_sec"] = round(time.time() - t0, 3)
+        metrics["timings"] = {k: round(v, 3) for k, v in timings.items()}
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(metrics) + "\n")
         fetched.unpersist()
-        new_rows.unpersist()
+        if not self.light_metrics:
+            new_rows.unpersist()
         fused.unpersist()
         return metrics
+
+    def _marks_stats(self, snapshot_id: int) -> tuple[int, int, int, int]:
+        """(n_scheduled, n_failed, n_items, n_links) from the written marks
+        parquet, summed driver-side — marks are one row per scheduled URL."""
+        import pyarrow.parquet as pq
+
+        n = nf = ni = nl = 0
+        for f in glob.glob(
+            os.path.join(
+                self.marks_table.snapshot_dir(snapshot_id), "**", "*.parquet"
+            ),
+            recursive=True,
+        ):
+            tbl = pq.read_table(f, columns=["m_state", "m_items", "m_links"])
+            n += tbl.num_rows
+            states = tbl.column("m_state").to_pylist()
+            nf += sum(1 for s in states if s == "failed")
+            ni += int(sum(x or 0 for x in tbl.column("m_items").to_pylist()))
+            nl += int(sum(x or 0 for x in tbl.column("m_links").to_pylist()))
+        return n, nf, ni, nl
 
     def run(self, n_ticks: int) -> list[dict]:
         out = []
@@ -271,5 +350,10 @@ class CrawlEngine:
         identical output to what the tick actually fetched."""
         parent = self.frontier_at(tick - 1)
         return schedule_tick(
-            parent, tick, tick_seconds=self.tick_seconds, max_per_tick=self.max_per_tick
+            parent,
+            tick,
+            tick_seconds=self.tick_seconds,
+            max_per_tick=self.max_per_tick,
+            staleness_ticks=self.staleness_ticks,
+            robots=self.robots,
         )

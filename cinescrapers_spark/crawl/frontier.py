@@ -8,30 +8,38 @@ source iff MAX(last_updated) older than 5 days) and its per-site page caps
 
 * ``priority = host_rank × recency_score`` (north_star formula); recency
   generalizes MAX_STALENESS — never-fetched URLs score 1.0, recently
-  fetched decay toward 0 and recover as ticks pass;
+  fetched decay toward 0 and recover as ticks pass, failures back off
+  exponentially and drop out permanently after MAX_RETRIES;
 * politeness budget per host per tick =
   ``min(max_per_tick, tick_seconds / crawl_delay)`` (robots crawl-delay);
+* robots disallow prefixes filter the frontier before selection
+  (north_rule "enforcing robots.txt");
 * selection = top-budget per host by ``(priority DESC, url_hash ASC)`` —
   a total order, so the schedule is a pure function of the frontier
   snapshot (determinism is a schema property, SURVEY §7.3);
-* skew kill: the per-host top-k runs in two phases — per ``(host, salt)``
-  top-budget first (bounds any partition to the salt's share of a
-  mega-domain), then per-host top-budget over the ≤ S×budget survivors.
-  Phase 1 never drops a row that phase 2 would keep (per-salt top-B is a
-  superset of that salt's members of the host-global top-B), so salting is
-  invisible in the result — only in the shuffle sizes.
+* skew kill + single shuffle: selection runs as a NARROW partial top-k
+  per input partition (Arrow kernel, no exchange — any partition emits at
+  most budget rows per host it holds, bounding mega-domains at the
+  source), then ONE per-host window over the ≤ partitions×budget
+  survivors. The partial pass never drops a row the global pass would
+  keep (a member of the host-global top-B is in its own partition's
+  top-B), so the result is exactly the declared total order — the same
+  argument as plans/similarity.partitioned_topk.
 """
 
 from __future__ import annotations
 
 import random
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cinescrapers_spark.schemas import FRONTIER
 
 STALENESS_TICKS = 5  # mirrors MAX_STALENESS = 5 days (ref __main__.py:34-35)
+MAX_RETRIES = 4      # failures beyond this never reschedule (failed_permanent)
 DEFAULT_SALTS = 8
 
 
@@ -48,7 +56,7 @@ def synthetic_seed_urls(
     synthetic hosts for web-scale-shaped benches) + one mega-domain taking
     ``mega_host_frac`` of all URLs (skew fixture). Raw forms include
     uppercase hosts, tracking params, scheme-relative and duplicate
-    variants — canonicalizer fodder."""
+    variants — canonicalizer fodder — plus a robots-disallowed slice."""
     from cinescrapers_spark.dims import seed_hosts
 
     rng = random.Random(seed)
@@ -61,6 +69,8 @@ def synthetic_seed_urls(
         else:
             host = hosts[rng.randrange(len(hosts))]
         path = f"/whats-on/page{rng.randrange(max(2, n_urls // 20))}"
+        if rng.random() < 0.05:  # robots-disallowed slice (dims.py prefixes)
+            path = f"/private/page{rng.randrange(50)}"
         url = f"https://{host}{path}"
         style = rng.random()
         if style < 0.1:
@@ -81,13 +91,19 @@ def init_frontier(
     n_salts: int = DEFAULT_SALTS,
     base_url: str | None = None,
     already_canonical: bool = False,
+    dedup: bool = True,
 ) -> DataFrame:
     """raw urls(url [,discovered_tick]) → canonical frontier rows (dedup by
     url_norm keeping the lexicographically-first raw form).
 
     ``already_canonical=True`` skips the canonicalizer UDF for inputs that
     come out of a fused kernel (page_outlinks_canon_udf) — one less Python
-    eval stage on the per-tick hot path."""
+    eval stage on the per-tick hot path.
+
+    ``dedup=False`` skips the groupBy: the per-tick discovery path feeds
+    the seen-probe cogroup, which shuffles by url_hash anyway and dedups
+    duplicates in the same pass — paying a second shuffle here was pure
+    overhead."""
     from cinescrapers_spark.functions.urls import canonicalize_url_udf, url_host
 
     if already_canonical:
@@ -96,15 +112,20 @@ def init_frontier(
         canon = raw_urls.withColumn(
             "url_norm", canonicalize_url_udf(F.col("url"), F.lit(base_url))
         ).filter(F.col("url_norm").isNotNull())
-    # one frontier row per canonical URL; keep min(url) as the raw exemplar
     tick_col = (
         F.min("discovered_tick") if "discovered_tick" in raw_urls.columns else F.lit(tick)
     )
-    dedup = canon.groupBy("url_norm").agg(
-        F.min("url").alias("url"), tick_col.alias("discovered_tick")
-    )
+    if dedup:
+        # one frontier row per canonical URL; keep min(url) as the raw exemplar
+        dedup_df = canon.groupBy("url_norm").agg(
+            F.min("url").alias("url"), tick_col.alias("discovered_tick")
+        )
+    else:
+        dedup_df = canon.select(
+            "url_norm", "url", F.lit(tick).alias("discovered_tick")
+        )
     f = (
-        dedup.withColumn("url_hash", F.xxhash64("url_norm"))
+        dedup_df.withColumn("url_hash", F.xxhash64("url_norm"))
         .withColumn("host", url_host(F.col("url_norm")))
         .withColumn(
             "host_salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int")
@@ -129,21 +150,30 @@ def init_frontier(
 # --------------------------------------------------------------------------
 # priority + scheduling
 # --------------------------------------------------------------------------
-def recency_score(tick: int):
-    """1.0 for never-fetched; after a fetch, 0 until STALENESS_TICKS have
-    passed, then back to 1.0 — the reference's binary staleness predicate
-    (__main__.py:519-524) as a column expression."""
+def recency_score(tick: int, staleness_ticks: int = STALENESS_TICKS):
+    """1.0 for never-fetched; after a fetch, 0 until the staleness window
+    has passed, then back to 1.0 — the reference's binary staleness
+    predicate (__main__.py:519-524) as a column expression. Failures wait
+    staleness × 2^retries (exponential backoff) and a row that has failed
+    MAX_RETRIES times is permanently out."""
     age = F.lit(tick) - F.col("last_fetch_tick")
+    wait = F.lit(staleness_ticks) * F.pow(
+        F.lit(2.0), F.least(F.col("retries"), F.lit(16)).cast("double")
+    )
     return (
-        F.when(F.col("last_fetch_tick").isNull(), 1.0)
-        .when(age >= STALENESS_TICKS, 1.0)
+        F.when(F.col("state") == "failed_permanent", 0.0)
+        .when(F.col("last_fetch_tick").isNull(), 1.0)
+        .when(age >= wait, 1.0)
         .otherwise(0.0)
     )
 
 
-def with_priority(frontier: DataFrame, tick: int) -> DataFrame:
+def with_priority(
+    frontier: DataFrame, tick: int, staleness_ticks: int = STALENESS_TICKS
+) -> DataFrame:
     return frontier.withColumn(
-        "priority", F.round(F.col("host_rank") * recency_score(tick), 9)
+        "priority",
+        F.round(F.col("host_rank") * recency_score(tick, staleness_ticks), 9),
     )
 
 
@@ -155,30 +185,67 @@ def host_budget_col(tick_seconds: float = 60.0, max_per_tick: int = 25):
     )
 
 
+def _url_path(url_norm_col):
+    return F.regexp_replace(url_norm_col, r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Filter frontier rows whose URL path matches a robots disallow prefix
+    for their host (north_rule; SURVEY §2.10 'filter frontier by prefix
+    match before scheduling'). ``robots``: (host, robots_disallow array)."""
+    r = F.broadcast(
+        robots.select("host", F.col("robots_disallow").alias("__disallow"))
+    )
+    path = _url_path(F.col("url_norm"))
+    blocked = F.exists(
+        F.coalesce(F.col("__disallow"), F.array()),
+        lambda p: F.startswith(path, p),
+    )
+    return (
+        frontier.join(r, "host", "left").filter(~blocked).drop("__disallow")
+    )
+
+
 def schedule_tick(
     frontier: DataFrame,
     tick: int,
     tick_seconds: float = 60.0,
     max_per_tick: int = 25,
+    staleness_ticks: int = STALENESS_TICKS,
+    robots: DataFrame | None = None,
 ) -> DataFrame:
-    """Select this tick's fetch set: eligible rows (priority>0, pending or
-    stale), two-phase per-host top-budget with salted skew kill."""
-    scored = with_priority(frontier, tick).filter(F.col("priority") > 0)
-    budget = host_budget_col(tick_seconds, max_per_tick)
+    """Select this tick's fetch set: eligible rows (priority>0: pending or
+    stale, not permanently failed, not robots-blocked), top-budget per host
+    in ONE shuffle via partial-then-global top-k."""
+    scored = with_priority(frontier, tick, staleness_ticks).filter(
+        F.col("priority") > 0
+    )
+    if robots is not None:
+        scored = apply_robots(scored, robots)
+    scored = scored.withColumn(
+        "__budget", host_budget_col(tick_seconds, max_per_tick)
+    )
+    schema = scored.schema
 
-    # phase 1: per (host, salt) top-budget — bounds every window partition
-    w_salt = Window.partitionBy("host", "host_salt").orderBy(
-        F.desc("priority"), F.asc("url_hash")
-    )
-    survivors = (
-        scored.withColumn("__rs", F.row_number().over(w_salt))
-        .filter(F.col("__rs") <= budget)
-        .drop("__rs")
-    )
-    # phase 2: per-host top-budget over ≤ S×budget survivors — exact result
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # narrow pre-pass: at most budget rows per host leave any batch —
+        # a mega-domain never funnels its full row set into the window
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            pdf = pdf.sort_values(
+                ["host", "priority", "url_hash"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            rank = pdf.groupby("host", sort=False).cumcount()
+            yield pdf[rank < pdf["__budget"]]
+
+    survivors = scored.mapInPandas(partial_topk, schema=schema)
     w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
     return (
         survivors.withColumn("__r", F.row_number().over(w_host))
-        .filter(F.col("__r") <= budget)
-        .drop("__r")
+        .filter(F.col("__r") <= F.col("__budget"))
+        .drop("__r", "__budget")
     )

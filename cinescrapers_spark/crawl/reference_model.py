@@ -18,7 +18,7 @@ from __future__ import annotations
 import ctypes
 from dataclasses import dataclass, field
 
-from cinescrapers_spark.crawl.frontier import STALENESS_TICKS
+from cinescrapers_spark.crawl.frontier import MAX_RETRIES, STALENESS_TICKS
 from cinescrapers_spark.functions.urls import canonicalize_url_py
 from cinescrapers_spark.sources.pages import fetch_and_parse
 
@@ -109,6 +109,8 @@ class ReferenceCrawl:
     max_per_tick: int = 25
     default_rank: float = 0.5
     default_delay: float = 1.0
+    staleness_ticks: int = STALENESS_TICKS
+    robots: dict[str, list[str]] | None = None  # host -> disallow prefixes
     frontier: dict[str, RefUrl] = field(default_factory=dict)  # by url_norm
     seen: set[int] = field(default_factory=set)
     schedules: list[list[str]] = field(default_factory=list)  # url_norms per tick
@@ -138,9 +140,23 @@ class ReferenceCrawl:
         return self._add_urls(raw_urls, 0)
 
     def _priority(self, r: RefUrl, tick: int) -> float:
-        if r.last_fetch_tick is None or tick - r.last_fetch_tick >= STALENESS_TICKS:
+        """Mirror frontier.recency_score: staleness window with exponential
+        failure backoff and permanent drop-out (engine parity)."""
+        if r.state == "failed_permanent":
+            return 0.0
+        if r.last_fetch_tick is None:
+            return round(r.host_rank * 1.0, 9)
+        wait = self.staleness_ticks * (2.0 ** min(r.retries, 16))
+        if tick - r.last_fetch_tick >= wait:
             return round(r.host_rank * 1.0, 9)
         return 0.0
+
+    def _robots_blocked(self, r: RefUrl) -> bool:
+        if not self.robots:
+            return False
+        path = r.url_norm.split("://", 1)[1]
+        path = path[len(r.host):]
+        return any(path.startswith(p) for p in self.robots.get(r.host, []))
 
     def tick(self) -> dict:
         self.tick_no += 1
@@ -148,7 +164,7 @@ class ReferenceCrawl:
         by_host: dict[str, list[tuple[float, int, RefUrl]]] = {}
         for r in self.frontier.values():
             p = self._priority(r, t)
-            if p > 0:
+            if p > 0 and not self._robots_blocked(r):
                 by_host.setdefault(r.host, []).append((p, r.url_hash, r))
         scheduled: list[RefUrl] = []
         for host, rows in by_host.items():
@@ -166,10 +182,13 @@ class ReferenceCrawl:
             ok, links, _n_items = fetch_and_parse(r.url_norm)
             if ok:
                 r.state = "fetched"
+                r.retries = 0  # success resets the backoff (engine parity)
                 discovered.extend(links)
             else:
-                r.state = "failed"
                 r.retries += 1
+                r.state = (
+                    "failed_permanent" if r.retries >= MAX_RETRIES else "failed"
+                )
                 n_fail += 1
             r.last_fetch_tick = t
         n_new = self._add_urls(discovered, t)

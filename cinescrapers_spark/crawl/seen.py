@@ -1,4 +1,5 @@
-"""Partitioned URL-seen set: bloom pre-filter + exact sorted-hash authority.
+"""Partitioned URL-seen set: bloom pre-filter + exact sorted-hash authority,
+stored as an LSM of per-shard segment runs.
 
 Generalizes the reference's seen-checks — ``filepath.exists()`` on a hashed
 URL before fetching (``/root/reference/src/cinescrapers/__main__.py:218-220``)
@@ -8,7 +9,7 @@ Design (SURVEY §4.3):
 
 * identity = ``xxhash64(url_norm)`` (64-bit, JVM-computed);
 * shard key = ``pmod(url_hash, P)`` — the SAME hash partitioning is used for
-  the shard table and the candidate shuffle, so probe and state colocate
+  the shard state and the candidate shuffle, so probe and state colocate
   (one shuffle of the candidates, zero shuffle of the state);
 * per shard: a numpy bloom filter (fast negative; never authoritative) in
   front of a SORTED uint64 array probed by binary search — exact membership
@@ -17,12 +18,18 @@ Design (SURVEY §4.3):
   the "URL-seen membership must match the reference" gate forbids);
 * probe and insert run inside ``cogroup().applyInPandas`` — Arrow-batched,
   no per-row Python, state in/out as binary blobs;
-* shard blobs live in a SnapshotTable → seen-set state is checkpointed and
-  resumable per tick like every other table.
+* **storage is merge-on-read**: each tick commits a *run* — one blob per
+  TOUCHED shard holding only that tick's fresh keys — so per-tick write
+  bytes are O(new keys), not O(total keys) (a full-state rewrite per tick
+  is ~78 GB at 10^10 keys / P=4096 and would dominate tick wall-clock).
+  Probes union the newest base with the runs after it; ``compact`` folds
+  base+runs into a fresh base, mirroring the frontier's MOR compaction;
+* every commit is idempotent per (tick, kind) → a crashed tick re-runs
+  against the state *as of its parent tick* and re-commits safely.
 
 At 10^10 URLs / P=4096 shards: ~2.4M hashes/shard = 19 MB exact + ~3 MB
-bloom — comfortably an executor-memory object; P scales linearly with the
-frontier.
+bloom in the compacted base — comfortably an executor-memory object; P
+scales linearly with the frontier.
 """
 
 from __future__ import annotations
@@ -100,8 +107,31 @@ def bloom_maybe(bloom: np.ndarray, keys: np.ndarray) -> np.ndarray:
     return res
 
 
+def _membership(blobs: list[bytes], h: np.ndarray) -> np.ndarray:
+    """Exact membership of hashes ``h`` across a list of segment blobs
+    (base + runs): bloom rejects per segment, binary search settles."""
+    seen = np.zeros(len(h), dtype=bool)
+    for blob in blobs:
+        keys, bloom = decode_shard(blob)
+        if not len(keys):
+            continue
+        todo = ~seen
+        if not todo.any():
+            break
+        ht = h[todo]
+        maybe = bloom_maybe(bloom, ht) if len(bloom) else np.ones(len(ht), bool)
+        hit = np.zeros(len(ht), dtype=bool)
+        if maybe.any():
+            idx = np.searchsorted(keys, ht[maybe])
+            idx = np.clip(idx, 0, len(keys) - 1)
+            hit[maybe] = keys[idx] == ht[maybe]
+        seen[todo.nonzero()[0][hit]] = True
+    return seen
+
+
 class SeenSet:
-    """Sharded seen-set backed by a SnapshotTable of binary shard blobs."""
+    """Sharded seen-set backed by a SnapshotTable of binary shard blobs,
+    committed as per-tick runs with periodic base compaction."""
 
     def __init__(
         self,
@@ -121,40 +151,55 @@ class SeenSet:
     def shard_col(self, url_hash_col):
         return F.pmod(url_hash_col, F.lit(self.P)).cast("int")
 
-    def _shards_df(self, spark: SparkSession) -> DataFrame:
-        if self.table.latest() is None:
+    # -- state selection (merge-on-read) ---------------------------------------
+    def _entries_as_of(self, as_of: int | None) -> list[dict]:
+        """Newest base with tick ≤ as_of plus the runs after it (≤ as_of).
+        as_of=None means 'latest'."""
+        entries = self.table.manifest()
+        if as_of is not None:
+            entries = [e for e in entries if e["tick"] <= as_of]
+        bases = [e for e in entries if e.get("metrics", {}).get("kind") == "base"]
+        floor = bases[-1]["tick"] if bases else -1
+        picked = ([bases[-1]] if bases else []) + [
+            e
+            for e in entries
+            if e.get("metrics", {}).get("kind") != "base" and e["tick"] > floor
+        ]
+        return picked
+
+    def _state_df(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+        entries = self._entries_as_of(as_of)
+        if not entries:
             return spark.createDataFrame([], SHARD_SCHEMA)
-        return self.table.read(spark)
+        dirs = [self.table.snapshot_dir(e["snapshot_id"]) for e in entries]
+        return spark.read.schema(SHARD_SCHEMA).parquet(*dirs)
 
     # -- probe ----------------------------------------------------------------
-    def filter_unseen(self, candidates: DataFrame, hash_col: str = "url_hash") -> DataFrame:
-        """Return candidate rows whose hash is NOT in the seen set.
+    def filter_unseen(
+        self,
+        candidates: DataFrame,
+        hash_col: str = "url_hash",
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Return candidate rows whose hash is NOT in the seen set (as of
+        the given tick; latest by default).
 
         One shuffle: candidates are hash-partitioned by shard_id and
-        cogrouped with their (single-row) state shard; inside each group a
-        bloom rejects definite-news cheaply, then binary search settles the
-        rest exactly.
+        cogrouped with their state segments (base + runs); inside each
+        group blooms reject definite-news cheaply, then binary search
+        settles the rest exactly.
         """
         spark = candidates.sparkSession
-        shards = self._shards_df(spark)
+        shards = self._state_df(spark, as_of)
         cand = candidates.withColumn("__shard", self.shard_col(F.col(hash_col)))
         out_schema = cand.schema
-        bloom_bytes = self.bloom_bytes
         hname = hash_col
 
         def probe(key, cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
-            if len(cdf) == 0:
+            if len(cdf) == 0 or len(sdf) == 0:
                 return cdf
-            if len(sdf) == 0:
-                return cdf
-            keys, bloom = decode_shard(sdf["data"].iloc[0])
             h = cdf[hname].to_numpy().astype(np.uint64)
-            maybe = bloom_maybe(bloom, h) if len(bloom) else np.ones(len(h), bool)
-            seen = np.zeros(len(h), dtype=bool)
-            if maybe.any() and len(keys):
-                idx = np.searchsorted(keys, h[maybe])
-                idx = np.clip(idx, 0, len(keys) - 1)
-                seen[maybe] = keys[idx] == h[maybe]
+            seen = _membership(list(sdf["data"]), h)
             return cdf[~seen]
 
         unseen = (
@@ -166,64 +211,35 @@ class SeenSet:
 
     # -- insert ---------------------------------------------------------------
     def add(self, new_urls: DataFrame, tick: int, hash_col: str = "url_hash") -> None:
-        """Merge new hashes into shards and commit the next snapshot.
-
-        Same colocated cogroup; each shard's sorted array is union-merged
-        once per tick (O(shard + batch log batch)).
-        """
-        spark = new_urls.sparkSession
-        shards = self._shards_df(spark)
-        add = (
-            new_urls.select(F.col(hash_col).alias("h"))
-            .withColumn("__shard", self.shard_col(F.col("h")))
-        )
-        bloom_bytes = self.bloom_bytes
-
-        def merge(key, cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
-            shard_id = int(key[0])
-            if len(sdf):
-                keys, bloom = decode_shard(sdf["data"].iloc[0])
-            else:
-                keys = np.empty(0, dtype=np.uint64)
-                bloom = np.zeros(bloom_bytes, dtype=np.uint8)
-            if len(cdf):
-                h = np.unique(cdf["h"].to_numpy().astype(np.uint64))
-                fresh = h[~np.isin(h, keys, assume_unique=False)] if len(keys) else h
-                if len(fresh):
-                    keys = np.sort(np.concatenate([keys, fresh]))
-                    bloom_add(bloom, fresh)
-            return pd.DataFrame(
-                {
-                    "shard_id": [shard_id],
-                    "data": [encode_shard(keys, bloom)],
-                    "n_keys": [len(keys)],
-                }
-            )
-
-        merged = (
-            add.groupBy("__shard")
-            .cogroup(shards.groupBy("shard_id"))
-            .applyInPandas(merge, schema=SHARD_SCHEMA)
-        )
-        # untouched shards carry over via the cogroup (empty add side);
-        # single write job; row_count=-1 = "not recounted" (≤P by
-        # construction — a read-back count would double the shuffle)
-        self.table.commit(merged, tick=tick, row_count=-1)
+        """Register new hashes: probe against state as of tick-1, write the
+        fresh keys as this tick's run (touched shards only — O(new keys))."""
+        _, new_shards, fused = self.probe_and_add(new_urls, tick, hash_col)
+        self.commit_shards(new_shards, tick=tick)
+        fused.unpersist()
 
     # -- fused probe+insert -----------------------------------------------------
-    def probe_and_add(self, candidates: DataFrame, tick: int, hash_col: str = "url_hash"):
-        """ONE cogroup pass: filter candidates against the shard state AND
-        merge the unseen hashes into it. Output is a tagged union —
-        one 'shard' row per group plus the unseen candidate rows — split by
-        the caller. Halves the candidate shuffle vs probe-then-add and
-        drops a barrier from the tick.
+    def probe_and_add(
+        self, candidates: DataFrame, tick: int, hash_col: str = "url_hash"
+    ):
+        """ONE cogroup pass against the state as of ``tick - 1``: filter
+        candidates AND produce this tick's run blobs (fresh keys only, per
+        touched shard). Output is a tagged union — run rows plus the unseen
+        candidate rows — split by the caller. Halves the candidate shuffle
+        vs probe-then-add and drops a barrier from the tick.
 
-        Returns (unseen_df, shards_df, n_new): unseen_df/shards_df are two
+        Within-batch duplicates (the same URL discovered on two pages this
+        tick) collide in their shard and are deduped here, keeping the
+        lexicographically-first exemplar row — the reference model's
+        ``min(url)`` rule (reference_model.py _add_urls). Reading state
+        as-of the parent tick makes a re-run of a crashed tick recompute
+        byte-identical outputs (torn-commit safety).
+
+        Returns (unseen_df, run_shards_df, fused_cached): the first two are
         filters over one CACHED cogroup output; call ``commit_shards`` with
-        shards_df to persist, then read n_new cheaply from the manifest.
+        the run, then unpersist the cache.
         """
         spark = candidates.sparkSession
-        shards = self._shards_df(spark)
+        shards = self._state_df(spark, as_of=tick - 1)
         cand = candidates.withColumn("__shard", self.shard_col(F.col(hash_col)))
         cand_fields = [f"`{c}`" for c in candidates.columns]
         out_schema = (
@@ -235,49 +251,47 @@ class SeenSet:
         bloom_bytes = self.bloom_bytes
         cand_cols = list(candidates.columns)
         hname = hash_col
+        sort_keys = [hname] + (["url"] if "url" in cand_cols else [])
 
         def fused(key, cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
             shard_id = int(key[0])
-            if len(sdf):
-                keys, bloom = decode_shard(sdf["data"].iloc[0])
-            else:
-                keys = np.empty(0, dtype=np.uint64)
-                bloom = np.zeros(bloom_bytes, dtype=np.uint8)
-            if len(cdf):
-                cdf = cdf.drop(columns=["__shard"])
-                h = cdf[hname].to_numpy().astype(np.uint64)
-                maybe = bloom_maybe(bloom, h) if len(bloom) else np.ones(len(h), bool)
-                seen = np.zeros(len(h), dtype=bool)
-                if maybe.any() and len(keys):
-                    idx = np.searchsorted(keys, h[maybe])
-                    idx = np.clip(idx, 0, len(keys) - 1)
-                    seen[maybe] = keys[idx] == h[maybe]
-                fresh_rows = cdf[~seen]
-                fresh = np.unique(h[~seen])
-                if len(fresh):
-                    keys = np.sort(np.concatenate([keys, fresh]))
-                    bloom_add(bloom, fresh)
-            else:
-                fresh_rows = cdf.iloc[0:0].drop(columns=["__shard"], errors="ignore")
+            empty = pd.DataFrame(
+                columns=["__kind", "shard_id", "data", "n_keys"] + cand_cols
+            )
+            if not len(cdf):
+                return empty
+            cdf = (
+                cdf.drop(columns=["__shard"])
+                .sort_values(sort_keys)
+                .drop_duplicates(subset=[hname])
+            )
+            h = cdf[hname].to_numpy().astype(np.uint64)
+            seen = _membership(list(sdf["data"]), h) if len(sdf) else np.zeros(
+                len(h), dtype=bool
+            )
+            fresh_rows = cdf[~seen]
+            if not len(fresh_rows):
+                return empty
+            fresh = np.sort(fresh_rows[hname].to_numpy().astype(np.uint64))
+            bloom = np.zeros(bloom_bytes, dtype=np.uint8)
+            bloom_add(bloom, fresh)
             shard_row = pd.DataFrame(
                 {
                     "__kind": ["shard"],
                     "shard_id": [shard_id],
-                    "data": [encode_shard(keys, bloom)],
-                    "n_keys": [len(keys)],
+                    "data": [encode_shard(fresh, bloom)],
+                    "n_keys": [len(fresh)],
                     **{c: [None] for c in cand_cols},
                 }
             )
-            if len(fresh_rows):
-                url_rows = fresh_rows.copy()
-                url_rows["__kind"] = "url"
-                url_rows["shard_id"] = None
-                url_rows["data"] = None
-                url_rows["n_keys"] = None
-                return pd.concat([shard_row, url_rows], ignore_index=True)[
-                    ["__kind", "shard_id", "data", "n_keys"] + cand_cols
-                ]
-            return shard_row[["__kind", "shard_id", "data", "n_keys"] + cand_cols]
+            url_rows = fresh_rows.copy()
+            url_rows["__kind"] = "url"
+            url_rows["shard_id"] = None
+            url_rows["data"] = None
+            url_rows["n_keys"] = None
+            return pd.concat([shard_row, url_rows], ignore_index=True)[
+                ["__kind", "shard_id", "data", "n_keys"] + cand_cols
+            ]
 
         fused_out = (
             cand.groupBy("__shard")
@@ -292,18 +306,72 @@ class SeenSet:
         return unseen, new_shards, fused_out
 
     def commit_shards(self, new_shards: DataFrame, tick: int) -> int:
-        """Write the shard snapshot; return the total key count (summed
-        driver-side from the written parquet footers — no Spark job)."""
-        info = self.table.commit(new_shards, tick=tick, row_count=-1)
-        total = self._sum_keys_from_snapshot(info.snapshot_id)
-        # stash the running total in the manifest for cheap n_new deltas
+        """Write this tick's run snapshot (idempotent per tick); return the
+        total key count as of this tick. Runs hold only fresh keys, so
+        total = total(tick-1) + run size, both read from parquet footers /
+        the manifest — no Spark job."""
+        existing = self.table.entry_for(tick, tag="run")
+        if existing is not None:
+            return int(existing["metrics"]["total_keys"])
+        prev_total = self.total_keys_as_of(tick - 1)
+        info = self.table.commit(
+            new_shards,
+            tick=tick,
+            row_count=-1,
+            tag="run",
+            metrics={"kind": "run"},
+        )
+        fresh = self._sum_keys_from_snapshot(info.snapshot_id)
+        total = prev_total + fresh
+        self._stash_total(total)
+        return total
+
+    def compact(self, spark: SparkSession, tick: int) -> None:
+        """Fold base+runs into a fresh base snapshot (idempotent per tick).
+        Probe cost and manifest length reset; run history before the base
+        is subsumed. Mirrors the frontier's compaction cadence."""
+        if self.table.entry_for(tick, tag="base") is not None:
+            return
+        state = self._state_df(spark, as_of=tick)
+        bloom_bytes = self.bloom_bytes
+
+        def merge_all(key, sdf):
+            parts = [decode_shard(b)[0] for b in sdf["data"]]
+            keys = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, dtype=np.uint64)
+            )
+            bloom = np.zeros(bloom_bytes, dtype=np.uint8)
+            if len(keys):
+                bloom_add(bloom, keys)
+            return pd.DataFrame(
+                {
+                    "shard_id": [int(key[0])],
+                    "data": [encode_shard(keys, bloom)],
+                    "n_keys": [len(keys)],
+                }
+            )
+
+        merged = state.groupBy("shard_id").applyInPandas(merge_all, schema=SHARD_SCHEMA)
+        total = self.total_keys_as_of(tick)
+        self.table.commit(
+            merged,
+            tick=tick,
+            row_count=-1,
+            tag="base",
+            metrics={"kind": "base", "total_keys": total},
+        )
+
+    def _stash_total(self, total: int) -> None:
+        """Record the running total on the just-written manifest entry, so
+        later ticks read it without a Spark job."""
         entries = self.table.manifest()
         entries[-1]["metrics"]["total_keys"] = total
         tmp = self.table._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(entries, f, indent=1, default=str)
         os.replace(tmp, self.table._manifest_path())
-        return total
 
     def _sum_keys_from_snapshot(self, snapshot_id: int) -> int:
         import pyarrow.parquet as pq
@@ -317,10 +385,15 @@ class SeenSet:
             total += int(t.column("n_keys").to_pandas().sum() or 0)
         return total
 
-    def total_keys(self, spark: SparkSession) -> int:
+    def total_keys_as_of(self, as_of: int) -> int:
+        entries = [e for e in self.table.manifest() if e["tick"] <= as_of]
+        for e in reversed(entries):
+            if "total_keys" in e.get("metrics", {}):
+                return int(e["metrics"]["total_keys"])
+        return 0
+
+    def total_keys(self, spark: SparkSession = None) -> int:
         latest = self.table.latest()
         if latest is None:
             return 0
-        if "total_keys" in latest.get("metrics", {}):
-            return int(latest["metrics"]["total_keys"])
-        return self._shards_df(spark).agg(F.sum("n_keys")).first()[0] or 0
+        return self.total_keys_as_of(latest["tick"])

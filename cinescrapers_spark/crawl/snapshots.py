@@ -60,6 +60,14 @@ class SnapshotTable:
         return os.path.join(self.path, f"snap-{snapshot_id:06d}")
 
     # -- commit / read -------------------------------------------------------
+    def entry_for(self, tick: int, tag: str | None = None) -> dict | None:
+        """The manifest entry committed for (tick, tag), if any — the
+        idempotency key for re-runnable tick commits."""
+        for e in self.manifest():
+            if e["tick"] == tick and e.get("tag") == tag:
+                return e
+        return None
+
     def commit(
         self,
         df: DataFrame,
@@ -67,12 +75,31 @@ class SnapshotTable:
         metrics: dict | None = None,
         partition_by: list[str] | None = None,
         row_count: int | None = None,
+        tag: str | None = None,
+        idempotent: bool = False,
     ) -> SnapshotInfo:
         """Write df as the next snapshot (atomic via tmp-dir rename) and
         append manifest entry with per-partition lineage.
 
         Pass ``row_count`` when the caller already knows it — the read-back
-        count is an extra Spark job per commit (measured tick overhead)."""
+        count is an extra Spark job per commit (measured tick overhead).
+
+        ``idempotent=True`` makes the commit a no-op when an entry for
+        (tick, tag) already exists (returns the existing info): a crashed
+        tick can be re-run from its parent state and each table skips the
+        commits that already landed — resumable from ANY point, not just
+        tick boundaries."""
+        if idempotent:
+            existing = self.entry_for(tick, tag)
+            if existing is not None:
+                return SnapshotInfo(
+                    snapshot_id=existing["snapshot_id"],
+                    parent_id=existing.get("parent_id"),
+                    tick=tick,
+                    row_count=existing.get("row_count", -1),
+                    metrics=existing.get("metrics", {}),
+                    lineage=existing.get("lineage", []),
+                )
         prev = self.latest()
         sid = (prev["snapshot_id"] + 1) if prev else 0
         final = self.snapshot_dir(sid)
@@ -108,8 +135,9 @@ class SnapshotTable:
             lineage=lineage,
             wall_clock=time.time() - t0,
         )
+        entry = info.__dict__ | {"tag": tag}
         entries = self.manifest()
-        entries.append(info.__dict__)
+        entries.append(entry)
         tmp_manifest = self._manifest_path() + ".tmp"
         with open(tmp_manifest, "w") as f:
             json.dump(entries, f, indent=1, default=str)

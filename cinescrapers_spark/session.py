@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Don't stall the scheduler waiting for data-local slots: on the
+        # single-box local-cluster used for scaling evidence every executor
+        # is equidistant from every shuffle block, yet the default 3s wait
+        # added ~10s of pure scheduler idle per tick at 8 executors
+        # (measured: tick overhead 16.7s → 7s). On a real cluster this is
+        # the same knob you drop when the network is fast relative to task
+        # length.
+        .config("spark.locality.wait", "0s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

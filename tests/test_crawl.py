@@ -55,9 +55,9 @@ def test_seen_set_probe_insert(spark, tmp_path):
 def crawl_pair(spark, tmp_path_factory):
     """Run engine and reference model on identical input; return both."""
     hosts = hosts_df(spark, extra_hosts=["megacinema.example.com"])
-    host_info = {
-        r.host: (r.host_rank, r.crawl_delay) for r in hosts.collect()
-    }
+    host_rows = hosts.collect()
+    host_info = {r.host: (r.host_rank, r.crawl_delay) for r in host_rows}
+    robots = {r.host: list(r.robots_disallow or []) for r in host_rows}
     seeds = synthetic_seed_urls(N_SEEDS, seed=7, mega_host_frac=0.5)
     raw = spark.createDataFrame(seeds)
 
@@ -72,7 +72,7 @@ def crawl_pair(spark, tmp_path_factory):
     eng.bootstrap(raw)
     eng_metrics = eng.run(N_TICKS)
 
-    ref = ReferenceCrawl(host_info, tick_seconds=30.0, max_per_tick=10)
+    ref = ReferenceCrawl(host_info, tick_seconds=30.0, max_per_tick=10, robots=robots)
     ref.bootstrap([s["url"] for s in seeds])
     ref_metrics = ref.run(N_TICKS)
     return eng, eng_metrics, ref, ref_metrics
@@ -144,3 +144,140 @@ def test_resume_equivalence(spark, tmp_path):
     fb = {(r.url_norm, r.state, r.last_fetch_tick) for r in b2.frontier().collect()}
     assert fa == fb
     assert a.seen.total_keys(spark) == b2.seen.total_keys(spark)
+
+
+def test_robots_disallow_filters_schedule(spark, crawl_pair):
+    """No scheduled URL may fall under its host's disallow prefixes, and
+    the seed mix must actually contain disallowed URLs (fixture sanity)."""
+    eng, _, ref, _ = crawl_pair
+    robots = ref.robots or {}
+    frontier_urls = [r.url_norm for r in eng.frontier().collect()]
+    blocked_in_frontier = [
+        u for u in frontier_urls
+        if any(
+            u.split("://", 1)[1][len(u.split("://", 1)[1].split("/", 1)[0]):]
+            .startswith(p)
+            for p in robots.get(u.split("://", 1)[1].split("/", 1)[0], [])
+        )
+    ]
+    assert blocked_in_frontier, "fixture has no robots-blocked URLs to test"
+    for t in range(1, N_TICKS + 1):
+        for r in eng.scheduled_set(t).collect():
+            host = r.url_norm.split("://", 1)[1].split("/", 1)[0]
+            path = r.url_norm.split("://", 1)[1][len(host):]
+            assert not any(
+                path.startswith(p) for p in robots.get(host, [])
+            ), f"scheduled a robots-blocked URL: {r.url_norm}"
+
+
+def test_retry_backoff_and_permanent_dropout(spark, tmp_path):
+    """Failures back off exponentially and drop out after MAX_RETRIES, in
+    lockstep with the reference model (staleness_ticks=1 to see retries)."""
+    from cinescrapers_spark.crawl.frontier import MAX_RETRIES
+
+    hosts = hosts_df(spark, extra_hosts=["megacinema.example.com"])
+    host_rows = hosts.collect()
+    host_info = {r.host: (r.host_rank, r.crawl_delay) for r in host_rows}
+    robots = {r.host: list(r.robots_disallow or []) for r in host_rows}
+    seeds = synthetic_seed_urls(60, seed=3)
+    eng = CrawlEngine(spark, str(tmp_path / "c"), hosts, num_shards=8,
+                      tick_seconds=30.0, max_per_tick=10, staleness_ticks=1,
+                      compact_every=4)
+    eng.bootstrap(spark.createDataFrame(seeds))
+    em = eng.run(10)
+
+    ref = ReferenceCrawl(host_info, tick_seconds=30.0, max_per_tick=10,
+                         staleness_ticks=1, robots=robots)
+    ref.bootstrap([s["url"] for s in seeds])
+    rm = ref.run(len(em))
+    for e, r in zip(em, rm):
+        assert (e["scheduled"], e["fetch_failed"], e["new_unseen"]) == (
+            r["scheduled"], r["fetch_failed"], r["new_unseen"]
+        ), f"tick {e['tick']} diverged"
+    got = {
+        (r.url_norm, r.state, r.retries) for r in eng.frontier().collect()
+    }
+    want = {(r.url_norm, r.state, r.retries) for r in ref.frontier.values()}
+    assert got == want
+    # the fail-y synthetic fetch (1 in 10 URLs) must actually have produced
+    # a permanent drop-out for the assertion to mean anything
+    n_perm = sum(1 for _, s, _ in got if s == "failed_permanent")
+    n_retrying = sum(1 for _, s, r in got if s == "failed" and r >= 1)
+    assert n_perm + n_retrying > 0, "fixture produced no retry activity"
+    assert MAX_RETRIES == 4
+
+
+def test_mid_tick_crash_resume(spark, tmp_path):
+    """Kill BETWEEN commits of one tick (after marks+seen, before adds):
+    the re-run must land the identical final state — the torn-commit case
+    where discoveries are already marked seen but absent from the frontier."""
+    hosts = hosts_df(spark, extra_hosts=["megacinema.example.com"])
+    seeds = synthetic_seed_urls(150, seed=11)
+
+    a = CrawlEngine(spark, str(tmp_path / "a"), hosts, num_shards=8,
+                    tick_seconds=30.0, max_per_tick=10)
+    a.bootstrap(spark.createDataFrame(seeds))
+    a.run(3)
+
+    b = CrawlEngine(spark, str(tmp_path / "b"), hosts, num_shards=8,
+                    tick_seconds=30.0, max_per_tick=10)
+    b.bootstrap(spark.createDataFrame(seeds))
+    b.run(1)
+    # crash tick 2 after the marks and seen-run commits, before adds
+    real_commit = b.adds_table.commit
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("simulated crash before adds commit")
+
+    b.adds_table.commit = boom
+    with pytest.raises(RuntimeError):
+        b.tick()
+    b.adds_table.commit = real_commit
+    assert b.marks_table.latest()["tick"] == 2  # marks landed
+    assert b.seen.table.latest()["tick"] == 2   # seen run landed
+    assert b.current_tick() == 1                # tick 2 incomplete
+
+    # restart: a brand-new engine over the same workdir re-runs tick 2
+    b2 = CrawlEngine(spark, str(tmp_path / "b"), hosts, num_shards=8,
+                     tick_seconds=30.0, max_per_tick=10)
+    assert b2.current_tick() == 1
+    b2.run(2)
+
+    fa = {(r.url_norm, r.state, r.last_fetch_tick) for r in a.frontier().collect()}
+    fb = {(r.url_norm, r.state, r.last_fetch_tick) for r in b2.frontier().collect()}
+    assert fa == fb, "mid-tick crash resume diverged from uninterrupted run"
+    assert a.seen.total_keys() == b2.seen.total_keys()
+
+
+def test_seen_run_commits_are_o_changes(spark, tmp_path):
+    """Per-tick seen-set write bytes must scale with NEW keys, not total
+    keys (the O(changes) LSM property): a tiny run over a huge existing
+    state writes tiny bytes; compaction folds runs into one base."""
+    from pyspark.sql import functions as F
+
+    # small blooms so key bytes dominate blob size at test scale
+    seen = SeenSet(SnapshotTable(str(tmp_path / "s")), num_shards=4,
+                   bloom_bytes_per_shard=256)
+    big = spark.range(0, 50_000).select(F.xxhash64("id").alias("url_hash"))
+    seen.add(big, tick=0)
+    small = spark.range(50_000, 50_100).select(F.xxhash64("id").alias("url_hash"))
+    seen.add(small, tick=1)
+    assert seen.total_keys() == 50_100
+
+    def run_bytes(tick):
+        e = seen.table.entry_for(tick, tag="run")
+        return sum(f["bytes"] for f in e["lineage"])
+
+    b0, b1 = run_bytes(0), run_bytes(1)
+    assert b1 < b0 / 20, (
+        f"tick-1 run wrote {b1}B over a 50k-key state — not O(changes) "
+        f"(bootstrap run was {b0}B)"
+    )
+
+    # compaction: one base subsumes the runs; probes stay exact
+    seen.compact(spark, tick=2)
+    assert seen.table.entry_for(2, tag="base") is not None
+    assert seen.filter_unseen(big.union(small)).count() == 0
+    probe = spark.range(60_000, 60_050).select(F.xxhash64("id").alias("url_hash"))
+    assert seen.filter_unseen(probe).count() == 50
+    assert seen.total_keys() == 50_100

@@ -21,16 +21,26 @@ def main() -> None:
     ap.add_argument("--urls", type=int, default=400_000)
     args = ap.parse_args()
 
+    import os
+
     import pandas as pd
     from pyspark.sql import functions as F
 
     from cinescrapers_spark.session import get_spark
     from cinescrapers_spark.sources.pages import fetch_parse_expand_udf
 
+    # same executor shape as bench_crawl: N executors × 2 cores
+    os.environ.setdefault("SPARK_HOME", "/opt/spark")
+    n_exec = max(1, args.cpus // 2)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = get_spark(
         app_name=f"bench-parse-{args.cpus}",
-        master=f"local[{args.cpus}]",
+        master=f"local-cluster[{n_exec},2,6144]",
         shuffle_partitions=args.cpus,
+        extra_conf={
+            "spark.executor.memory": "5g",
+            "spark.executorEnv.PYTHONPATH": repo_root,
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     urls = pd.DataFrame(

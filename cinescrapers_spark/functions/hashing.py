@@ -36,6 +36,26 @@ def get_hashed_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: None if x is None else get_hashed_py(x))
 
 
+def encode_cache_path_py(path: str) -> str:
+    """Round-trippable cache key for an API path: urlsafe-b64, padding
+    stripped (ref scrapers/rapidapi/scrape.py:38-39)."""
+    return base64.urlsafe_b64encode(path.encode("utf-8")).decode("ascii").rstrip("=")
+
+
+def decode_cache_path_py(encoded: str) -> str:
+    """Inverse of encode_cache_path_py (ref rapidapi/scrape.py:42-44)."""
+    padded = encoded + "=" * ((4 - len(encoded) % 4) % 4)
+    return base64.urlsafe_b64decode(padded.encode("ascii")).decode("utf-8")
+
+
+def encode_cache_path(path_col: Column) -> Column:
+    """Column form, JVM-side: base64 is built-in (MIME-chunked at 76 chars
+    in this Spark build — strip the line breaks); translate +/ → -_ and
+    strip padding to match the urlsafe variant byte-for-byte."""
+    unchunked = F.regexp_replace(F.base64(path_col.cast("binary")), "[\\r\\n]", "")
+    return F.regexp_replace(F.translate(unchunked, "+/", "-_"), "=+$", "")
+
+
 def fstr(c: Column) -> Column:
     """Python f-string rendering of a nullable value: None → the literal
     string "None" (``f"{None}"``), everything else via cast to string.

@@ -261,6 +261,12 @@ def _dom_extractor(pattern: re.Pattern) -> Callable[..., DataFrame]:
                                 title = rm.group("title")
                         if g.get("dt"):  # machine-readable attr: ISO parse
                             dt = pd.to_datetime(g["dt"], errors="coerce")
+                            if dt is not pd.NaT and dt.tzinfo is not None:
+                                # tz-aware instant → naive London wall time
+                                # (ref barbican/scrape.py:74-77)
+                                dt = dt.tz_convert("Europe/London").tz_localize(
+                                    None
+                                )
                         else:  # free-text date (the dateparser call sites)
                             dt = parse_freetext_datetime_py(g.get("dttext"), now)
                         out.append(

@@ -164,9 +164,18 @@ def gen_paginated_cards(site: str, i: int) -> tuple[str, list[dict]]:
         # kiln renders a rating suffix the extractor must strip
         # (ref kiln/scrape.py:12,69-71); expected title stays bare
         shown = f"{title} (PG)" if site == "kiln" else title
+        # barbican publishes tz-aware UTC instants; the extractor must
+        # convert to naive London wall time (ref barbican/scrape.py:74-77)
+        if site == "barbican":
+            import zoneinfo
+
+            aware = d.replace(tzinfo=zoneinfo.ZoneInfo("Europe/London"))
+            attr = aware.astimezone(datetime.timezone.utc).isoformat()
+        else:
+            attr = d.isoformat()
         cards.append(
             f'<div class="card"><h3>{shown}</h3>'
-            f'<a href="{link}" datetime="{d.isoformat()}">book</a>{img_tag}</div>'
+            f'<a href="{link}" datetime="{attr}">book</a>{img_tag}</div>'
         )
         expected.append(
             {

@@ -136,6 +136,18 @@ class ShowtimesStore:
             "scraper",
         )
 
+    def export_json(
+        self, path: str, now: datetime.datetime, gzip_compress: bool = True
+    ) -> None:
+        """Write the export projection as (gzipped) JSON — the reference's
+        showtimes.json artifact + gzip upload (ref __main__.py:369-391;
+        upload.py:23-40 gz_compression=True). Dates serialize ISO via
+        Spark's JSON writer; gzip is the codec the CDN path expects."""
+        writer = self.export_rows(now).write.mode("overwrite")
+        if gzip_compress:
+            writer = writer.option("compression", "gzip")
+        writer.json(path)
+
     def stats(self, now: datetime.datetime) -> dict:
         """The print_stats aggregates (ref :69-178) as one cached pass."""
         from cinescrapers_spark.functions.dates import next_month_boundary

@@ -152,3 +152,45 @@ def test_identity_hashes_null_and_microsecond_fidelity(spark):
     for (sc, ti, dt, nt, de, im), r in zip(rows, got):
         assert r["sid"] == get_hashed_py(f"{sc}-{ti}-{dt}")
         assert r["mh"] == get_hashed_py(f"{nt}-{de}-{im}")
+
+
+def test_cache_path_codec_roundtrip_and_column(spark):
+    """urlsafe-b64 cache keys (ref rapidapi/scrape.py:38-44): python and
+    column forms agree byte-for-byte and round-trip."""
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.functions.hashing import (
+        decode_cache_path_py,
+        encode_cache_path,
+        encode_cache_path_py,
+    )
+
+    paths = ["/film/search?title=Amélie&year=2001", "/x", "a" * 200, "/?&=~"]
+    for p in paths:
+        assert decode_cache_path_py(encode_cache_path_py(p)) == p
+        assert "=" not in encode_cache_path_py(p)
+    df = spark.createDataFrame([(p,) for p in paths], "p string").select(
+        encode_cache_path(F.col("p")).alias("k"), "p"
+    )
+    for r in df.collect():
+        assert r["k"] == encode_cache_path_py(r["p"])
+
+
+def test_to_naive_london_wall_time(spark):
+    """TZ-aware instant → naive Europe/London wall clock (ref
+    barbican/scrape.py:74-77), across BST and GMT."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.functions.dates import to_naive_london
+
+    rows = [("2025-08-01 18:30:00",), ("2025-01-15 18:30:00",)]  # UTC instants
+    df = spark.createDataFrame(rows, "t string").select(
+        to_naive_london(F.to_timestamp("t")).alias("ldn")
+    )
+    got = [r["ldn"] for r in df.collect()]
+    assert got == [
+        datetime.datetime(2025, 8, 1, 19, 30),  # BST = UTC+1
+        datetime.datetime(2025, 1, 15, 18, 30),  # GMT = UTC+0
+    ]

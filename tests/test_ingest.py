@@ -119,3 +119,21 @@ def test_merge_tiebreak_is_content_deterministic(spark):
         assert len(got) == 1
         winners.add(got[0]["payload"])
     assert len(winners) == 1, f"tiebreak unstable across partitionings: {winners}"
+
+
+def test_export_json_gzip_artifact(spark, tmp_path, site_dim):
+    """The gzip JSON export (ref upload.py:23-40 gz_compression=True) must
+    produce .json.gz part files that read back to the export rows."""
+    import glob
+
+    pages_df, _ = _pages_df(spark)
+    store = ShowtimesStore(spark, str(tmp_path / "st"), site_dim)
+    store.ingest_pages(pages_df, now=NOW, tick=1)
+    out = str(tmp_path / "export")
+    store.export_json(out, now=NOW, gzip_compress=True)
+    parts = glob.glob(out + "/*.json.gz")
+    assert parts, "no gzipped json parts written"
+    back = spark.read.json(out)
+    want = store.export_rows(NOW)
+    assert back.count() == want.count()
+    assert set(back.columns) == set(want.columns)

@@ -116,14 +116,39 @@ def _resize_bilinear(arr: np.ndarray, size: int) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def detect_face_centre(arr: np.ndarray, block: int = 8) -> tuple[int, int] | None:
+    """Second-stage stand-in for the Haar face cascade
+    (thumbnailing.py:43-55): centre of the most skin-tone-dominant tile
+    (R>G>B warm dominance) when its score clears a floor, else None. A
+    different signal than detect_centre, so the chain has three genuinely
+    distinct stages like the reference's yolo → facial → centre."""
+    h, w = arr.shape[:2]
+    if h < block or w < block:
+        return None
+    a = arr.astype(np.float64)
+    warm = (a[..., 0] - a[..., 1]) + (a[..., 1] - a[..., 2])  # R−B gradient
+    th, tw = h // block, w // block
+    tiles = warm[: th * block, : tw * block].reshape(th, block, tw, block).mean(
+        axis=(1, 3)
+    )
+    r, c = np.unravel_index(np.argmax(tiles), tiles.shape)
+    if tiles[r, c] < 30.0:  # no warm-dominant region: "no face found"
+        return None
+    return int(c * block + block // 2), int(r * block + block // 2)
+
+
 def smart_square_thumbnail(arr: np.ndarray, size: int) -> tuple[np.ndarray, str]:
     """Crop-clamp math cloned from the reference
     (thumbnailing.py:79-94): largest square, centre clamped so the square
-    fits, then resize to size×size. Detector chain: stand-in detector →
+    fits, then resize to size×size. Detector chain mirrors the reference's
+    three stages (thumbnailing.py:66-77): yolo stand-in → face stand-in →
     geometric centre."""
     height, width = arr.shape[:2]
     centre = detect_centre(arr)
-    method = "detector"
+    method = "yolo"
+    if centre is None:
+        centre = detect_face_centre(arr)
+        method = "facial"
     if centre is None:
         centre = (width // 2, height // 2)
         method = "centre"

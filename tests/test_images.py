@@ -64,7 +64,29 @@ def test_thumbnail_shape_invariant():
         for size in (32, 64):
             thumb, method = smart_square_thumbnail(arr, size)
             assert thumb.shape == (size, size, 3)
-            assert method in ("detector", "centre")
+            assert method in ("yolo", "facial", "centre")
+
+
+def test_face_standin_chain():
+    import numpy as np
+
+    from cinescrapers_spark.images.ops import (
+        detect_face_centre,
+        smart_square_thumbnail,
+    )
+
+    # flat gray image: no bright tile, no warm tile -> centre fallback
+    flat = np.full((64, 96, 3), 128, dtype=np.uint8)
+    _, method = smart_square_thumbnail(flat, 16)
+    assert method == "centre"
+    # warm (skin-tone-ish) patch but NOT brighter than 1.25x global mean:
+    # yolo stand-in misses, face stand-in hits
+    img = np.full((64, 96, 3), 120, dtype=np.uint8)
+    img[8:24, 64:80] = [150, 100, 60]
+    c = detect_face_centre(img)
+    assert c is not None and 60 <= c[0] <= 84 and 4 <= c[1] <= 28
+    _, method2 = smart_square_thumbnail(img, 16)
+    assert method2 == "facial"
 
 
 def test_detector_finds_bright_block():

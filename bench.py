@@ -104,9 +104,19 @@ def main() -> None:
     thrN = bN["throughput_urls_per_sec"]
     thr4N = b4N["throughput_urls_per_sec"]
     efficiency = round((thr4N / thrN) / 4.0, 3)
-    pN = run_parse_bench(BENCH_N)
-    p4N = run_parse_bench(BENCH_4N)
-    p_eff = round((p4N["urls_per_sec"] / pN["urls_per_sec"]) / 4.0, 3)
+    # the host's shared-hypervisor CPUs drift ±20% across minutes
+    # (BASELINE.md §C), so the parse pair is measured INTERLEAVED 3×:
+    # median of per-round ratios cancels the drift a sequential pair
+    # cannot (each run is itself a median of 3 kernel reps)
+    rounds = []
+    for _ in range(3):
+        pN = run_parse_bench(BENCH_N)
+        p4N = run_parse_bench(BENCH_4N)
+        rounds.append((pN["urls_per_sec"], p4N["urls_per_sec"]))
+    ratios = sorted(r4 / rN for rN, r4 in rounds)
+    p_eff = round(ratios[1] / 4.0, 3)
+    pN_med = sorted(r[0] for r in rounds)[1]
+    p4N_med = sorted(r[1] for r in rounds)[1]
 
     print(
         json.dumps(
@@ -136,8 +146,9 @@ def main() -> None:
                 # expand kernel): governs cluster-scale throughput
                 "parse_stage": {
                     "urls": pN["urls"],
-                    "urls_per_sec_at_N": pN["urls_per_sec"],
-                    "urls_per_sec_at_4N": p4N["urls_per_sec"],
+                    "urls_per_sec_at_N": pN_med,
+                    "urls_per_sec_at_4N": p4N_med,
+                    "rounds": rounds,
                     "scaling_efficiency_N_to_4N": p_eff,
                 },
             }

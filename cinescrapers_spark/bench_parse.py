@@ -51,7 +51,9 @@ def main() -> None:
             ]
         }
     )
-    df = spark.createDataFrame(urls).repartition(args.cpus * 4).cache()
+    # ~2 tasks per core: each extra wave of tasks re-pays the Arrow
+    # pipeline spin-up (measured: 32 tasks on 8 cores cost ~20%)
+    df = spark.createDataFrame(urls).repartition(args.cpus * 2).cache()
     df.count()
 
     def kernel_sum(frame):
@@ -66,9 +68,16 @@ def main() -> None:
     # materialized shuffle stage and time ~nothing)
     warm = spark.createDataFrame(urls.head(20_000)).repartition(args.cpus)
     kernel_sum(warm).collect()
-    t0 = time.time()
-    row = kernel_sum(df).collect()[0]
-    wall = time.time() - t0
+    # median of 3: this VM's hypervisor-shared CPUs add ±15% run-to-run
+    # noise (BASELINE.md §C), which a single sample can't separate from
+    # real scaling. The kernel recomputes fully each rep (aggregation over
+    # a cached input; no shuffle reuse of the timed stage).
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        row = kernel_sum(df).collect()[0]
+        walls.append(time.time() - t0)
+    wall = sorted(walls)[1]
     print(
         json.dumps(
             {
@@ -77,6 +86,7 @@ def main() -> None:
                 "links": int(row["links"]),
                 "items": int(row["items"]),
                 "wall_sec": round(wall, 3),
+                "walls": [round(w, 3) for w in walls],
                 "urls_per_sec": round(args.urls / wall, 1),
             }
         )

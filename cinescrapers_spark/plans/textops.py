@@ -155,7 +155,26 @@ ORACLES = {
                  '\b[A-Z]{1,2}[0-9R][0-9A-Z]?\s?[0-9][A-Z]{2}\b', 0), '') AS postcode
         FROM documents""",
     # q_normalize_titles: 92-regex first-match — not SQL-expressible, rows-only.
+    "q_cache_keys": """
+        SELECT doc_id,
+               rtrim(replace(replace(to_base64(encode(
+                   '/doc/' || source || '/' || CAST(doc_id AS VARCHAR))),
+                 '+', '-'), '/', '_'), '=') AS cache_key
+        FROM documents""",
 }
+
+def q_cache_keys(spark, sf):
+    """Round-trippable urlsafe-b64 cache keys (the reference's API response
+    cache, rapidapi/scrape.py:38-44) derived per document — JVM-side base64
+    byte-compatible with Python's urlsafe_b64encode."""
+    from cinescrapers_spark.functions.hashing import encode_cache_path
+
+    docs = load(spark, sf, "documents")
+    path = F.concat(
+        F.lit("/doc/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")
+    )
+    return docs.select("doc_id", encode_cache_path(path).alias("cache_key"))
+
 
 QUERIES = {
     name: (fn, ORACLES.get(name))
@@ -167,5 +186,6 @@ QUERIES = {
         ("q_stopword_ratio", q_stopword_ratio),
         ("q_normalize_titles", q_normalize_titles),
         ("q_postcode_extract", q_postcode_extract),
+        ("q_cache_keys", q_cache_keys),
     ]
 }

@@ -44,3 +44,64 @@ def test_windowed_event_counts_batch_semantics(spark, sf_dir):
     assert out
     total = sum(r.cnt for r in out)
     assert total == events.count()  # tumbling windows partition the stream
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState URL dedup: duplicates must be suppressed
+    ACROSS micro-batches (state store), within batches (min-url exemplar),
+    and per-host state must not leak between hosts."""
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.streaming.stateful import dedup_url_stream
+
+    src = str(tmp_path / "urls")
+    os.makedirs(src)
+    schema = "host string, url string, url_hash long"
+
+    def drop(rows, name):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "url_hash", F.xxhash64("url")
+        )
+        df.coalesce(1).write.mode("append").parquet(src + "/" + name)
+
+    drop(
+        [
+            ("a.com", "https://a.com/1", 0),
+            ("a.com", "https://a.com/1", 0),  # within-batch dup
+            ("a.com", "https://a.com/2", 0),
+            ("b.com", "https://b.com/1", 0),
+        ],
+        "b1",
+    )
+    drop(
+        [
+            ("a.com", "https://a.com/1", 0),  # cross-batch dup
+            ("a.com", "https://a.com/3", 0),  # fresh
+            ("b.com", "https://a.com/1", 0),  # same url text, OTHER host: fresh
+        ],
+        "b2",
+    )
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        src + "/*"
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        dedup_url_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.host, r.url) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        ("a.com", "https://a.com/1"),
+        ("a.com", "https://a.com/2"),
+        ("a.com", "https://a.com/3"),
+        ("b.com", "https://b.com/1"),
+        ("b.com", "https://a.com/1"),  # per-host state: no cross-host leak
+    }

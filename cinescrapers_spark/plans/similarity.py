@@ -188,6 +188,75 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     ).select("q_id", "vec_id", F.round("cos_raw", 4).alias("cosine"))
 
 
+IVF_NPROBE = 3
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN — the classic coarse-quantizer scale path next to LSH:
+
+    1. centroids: per-label mean vectors, computed relationally
+       (posexplode → avg → re-assemble array); K = n_labels — a
+       training-free stand-in for k-means cells (the "training" step is a
+       groupBy; swapping in Lloyd iterations is more groupBys of the same
+       shape). The synthetic vectors are near-uniform, so recall here is
+       bounded by the probed-cell fraction — the pytest gate measures the
+       plumbing + exact re-rank, not a clustered corpus;
+    2. every candidate is assigned to its nearest centroid (broadcast the
+       K-row centroid dim; a skinny (vec_id, cell) assignment comes back
+       and re-joins the embedding — two 1×-volume shuffles instead of
+       pushing K× duplicated embeddings through one);
+    3. each query probes its IVF_NPROBE nearest cells only; the probe
+       list is broadcast, so candidates are filtered in place — the
+       10^10-candidate side never shuffles;
+    4. exact cosine re-rank inside the probed cells via partitioned_topk.
+
+    Recall < 1 by design (cell misses); measured against q_ann_bruteforce
+    in pytest; no SQL oracle (rows-only).
+    """
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), _as_double(F.col("embedding")).alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    # 1. centroids (cell dimension, K rows)
+    cent = (
+        c.select("label", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("c_emb")
+        )
+        .select(F.col("label").alias("cell"), "c_emb")
+    )
+    # 2. assignment: nearest cell per candidate (skinny), emb re-joined
+    sims = c.join(F.broadcast(cent)).select(
+        "vec_id", "cell", cosine(F.col("emb"), F.col("c_emb")).alias("sim")
+    )
+    assign = sims.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("sim"), -F.col("cell"))).alias("cell")
+    )
+    assigned = c.select("vec_id", "emb").join(assign, "vec_id")
+    # 3. probe list: top-NPROBE cells per query (tiny: queries × K)
+    qsims = q.join(F.broadcast(cent)).select(
+        "q_id", "q_emb", "cell", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim")
+    )
+    probes = partitioned_topk(
+        qsims, ["q_id"], [F.desc("sim"), F.asc("cell")], IVF_NPROBE
+    ).select("q_id", "q_emb", "cell")
+    # 4. exact re-rank inside probed cells
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "q_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("cos_raw")
+    )
+    return partitioned_topk(
+        scored, ["q_id"], [F.desc("cos_raw"), F.asc("vec_id")], TOPK
+    ).select("q_id", "vec_id", F.round("cos_raw", 4).alias("cosine"))
+
+
 def q_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label mean-vector norm — grouped array aggregation via
     element-wise zip_with fold (the embedding-rollup pattern)."""
@@ -259,6 +328,7 @@ QUERIES = {
         ("q_embed_norms", q_embed_norms),
         ("q_ann_bruteforce", q_ann_bruteforce),
         ("q_ann_lsh", q_ann_lsh),
+        ("q_ann_ivf", q_ann_ivf),
         ("q_label_centroid_sim", q_label_centroid_sim),
         ("q_piecewise_score", q_piecewise_score),
     ]

@@ -146,3 +146,26 @@ def test_lsh_bucket_cap_skew_kill(spark):
 
     # cap far above any bucket: identical output to uncapped
     assert lsh_candidate_pairs(docs, bucket_cap=1000).count() == uncapped.count()
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF cell-probe plumbing: the synthetic vectors are near-uniform
+    (same-label fraction of exact top-k ≈ 0.06 ≈ chance), so probing 3/10
+    cells bounds recall near the probed fraction — assert it is nontrivial
+    and that every returned pair carries the EXACT cosine (re-rank is
+    exact; on a genuinely clustered corpus recall → 1)."""
+    from cinescrapers_spark.plans.similarity import q_ann_bruteforce, q_ann_ivf
+
+    exact = {(r.q_id, r.vec_id) for r in q_ann_bruteforce(spark, sf_dir).collect()}
+    approx = {(r.q_id, r.vec_id) for r in q_ann_ivf(spark, sf_dir).collect()}
+    assert approx, "IVF returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"IVF recall {recall:.2f}"
+    # every returned pair must carry the exact cosine (re-rank is exact)
+    exact_cos = {
+        (r.q_id, r.vec_id): r.cosine
+        for r in q_ann_bruteforce(spark, sf_dir).collect()
+    }
+    for r in q_ann_ivf(spark, sf_dir).collect():
+        if (r.q_id, r.vec_id) in exact_cos:
+            assert abs(r.cosine - exact_cos[(r.q_id, r.vec_id)]) < 1e-9

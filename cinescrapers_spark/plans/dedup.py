@@ -258,6 +258,59 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SIMHASH_BANDS = 4  # 16 bits per band; pigeonhole: hamming ≤ 3 ⇒ ≥1 equal band
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_dedup_simhash_band(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 — the hamming>0 generalization
+    of q_dedup_simhash: the 64-bit fingerprint splits into 4×16-bit bands;
+    a pair within hamming 3 must agree on at least one full band
+    (pigeonhole), so candidates come from per-band bucket joins (shuffle =
+    rows × 4, never O(n²)) and an exact bit_count(xor) filter verifies.
+    Complete for hamming ≤ 3 by construction; pytest checks against the
+    brute-force hamming pairs. Rows-only (bit-level ops; no SQL oracle)."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    sims = docs.select("doc_id", simhash64(F.col("toks")).alias("simhash"))
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 _JACCARD_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, source,
@@ -299,5 +352,6 @@ QUERIES = {
         ("q_dedup_jaccard", q_dedup_jaccard),
         ("q_dedup_minhash_lsh", q_dedup_minhash_lsh),
         ("q_dedup_simhash", q_dedup_simhash),
+        ("q_dedup_simhash_band", q_dedup_simhash_band),
     ]
 }

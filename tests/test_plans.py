@@ -169,3 +169,38 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     for r in q_ann_ivf(spark, sf_dir).collect():
         if (r.q_id, r.vec_id) in exact_cos:
             assert abs(r.cosine - exact_cos[(r.q_id, r.vec_id)]) < 1e-9
+
+
+def test_simhash_band_pairs_complete_and_exact(spark, sf_dir):
+    """Hamming-banded SimHash near-dup must equal the brute-force hamming
+    ≤ 3 pair set (pigeonhole completeness + exact bit_count verify)."""
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.plans import load
+    from cinescrapers_spark.plans.dedup import (
+        _tokens,
+        q_dedup_simhash_band,
+        simhash64,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in q_dedup_simhash_band(spark, sf_dir).collect()
+    }
+    sims = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", simhash64(_tokens(F.col("text"))).alias("s"))
+        .collect()
+    )
+    vals = {r.doc_id: r.s for r in sims}
+    ids = sorted(vals)
+    want = set()
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            h = bin((vals[x] ^ vals[y]) & (2**64 - 1)).count("1")
+            if h <= 3:
+                want.add((x, y, h))
+    assert got == want, (
+        f"banded pairs != brute force: missing={want - got} extra={got - want}"
+    )
+    assert want, "fixture produced no hamming<=3 pairs to test"

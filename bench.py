@@ -70,8 +70,13 @@ def run_crawl_bench(cpus: int) -> dict:
     )
 
 
+PARSE_URLS = int(os.environ.get("SPARK_GRAFT_PARSE_URLS", "200000"))
+
+
 def run_parse_bench(cpus: int) -> dict:
-    return _run_module("cinescrapers_spark.bench_parse", cpus, [])
+    return _run_module(
+        "cinescrapers_spark.bench_parse", cpus, ["--urls", str(PARSE_URLS)]
+    )
 
 
 def main() -> None:

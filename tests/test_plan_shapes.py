@@ -1,0 +1,58 @@
+"""Physical-plan shape gates: the properties that make queries survive a
+100× scale-up are asserted on explain() output, not just prose —
+predicate pushdown reaches the parquet scan, small dims broadcast, the
+ANN top-k keeps its salted pre-pass, and nothing compiles to a
+non-broadcast cartesian product.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from cinescrapers_spark.plans import registry
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pushed_filters_reach_scan(spark, sf_dir):
+    """Row-group-skippable predicates must appear as PushedFilters on the
+    parquet scan (a scan reading everything for a filtered query is wrong)."""
+    reg = registry()
+    for name in ("q_count_horizon", "q_pricing_summary", "q_current_window"):
+        plan = _plan(reg[name][0](spark, sf_dir))
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any(p.strip() for p in pushed), f"{name}: no pushed filters\n{plan}"
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    reg = registry()
+    plan = _plan(reg["q_broadcast_join_revenue"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_ann_topk_keeps_salted_prepass(spark, sf_dir):
+    """partitioned_topk's pre-pass must survive optimization: two Window
+    nodes, the first partitioned by (q_id, __pid) — the exchange into the
+    final window is thereby bounded by k × partitions per query."""
+    reg = registry()
+    for name in ("q_ann_bruteforce", "q_ann_lsh"):
+        plan = _plan(reg[name][0](spark, sf_dir))
+        n_windows = plan.count("Window")
+        assert "__pid" in plan, f"{name}: salted pre-pass optimized away"
+        assert n_windows >= 2, f"{name}: expected pre+final windows\n{plan}"
+
+
+def test_no_unbroadcast_cartesian_anywhere(spark, sf_dir):
+    """No registry query may compile to a CartesianProduct (a non-broadcast
+    all-pairs shuffle); the documented all-pairs oracles go through
+    broadcast nested-loop instead."""
+    for name, (fn, _oracle) in registry().items():
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} compiles to a cartesian"

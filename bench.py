@@ -36,7 +36,7 @@ HEADLINE = [
 
 BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "600000"))
 BENCH_TICKS = int(os.environ.get("SPARK_GRAFT_BENCH_TICKS", "2"))
-BENCH_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "400"))
+BENCH_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
 # N vs 4N = 1 vs 4 executors (2 vs 8 cores). This VM's 32 vCPUs are backed
 # by ~12-16 physical cores' worth of cycles (a pure spin loop scales 8->32
 # procs at ~0.6), so the 8-vs-32 pair is hardware-capped below 0.8 no

@@ -65,6 +65,7 @@ class CrawlEngine:
         light_metrics: bool = False,
         compact_every: int = 8,
         staleness_ticks: int = STALENESS_TICKS,
+        max_retries: int = MAX_RETRIES,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -77,6 +78,7 @@ class CrawlEngine:
         self.light_metrics = light_metrics
         self.compact_every = compact_every
         self.staleness_ticks = staleness_ticks
+        self.max_retries = max_retries
         # robots dimension: disallow-prefix filter applied before scheduling
         self.robots = (
             hosts.select("host", "robots_disallow")
@@ -216,7 +218,9 @@ class CrawlEngine:
         marks = fetched.select(
             F.col("url_hash").alias("m_hash"),
             F.when(F.col("__ok"), F.lit("fetched"))
-            .when(F.col("retries") + 1 >= MAX_RETRIES, F.lit("failed_permanent"))
+            .when(
+                F.col("retries") + 1 >= self.max_retries, F.lit("failed_permanent")
+            )
             .otherwise(F.lit("failed"))
             .alias("m_state"),
             F.lit(t).alias("m_last_fetch_tick"),
@@ -232,7 +236,9 @@ class CrawlEngine:
             marks, tick=t, row_count=-1, idempotent=True
         )
         timings["sched_fetch_marks"] = time.time() - tj
-        n_sched, n_fail, n_items, n_links = self._marks_stats(marks_info.snapshot_id)
+        (n_sched, n_fail, n_items, n_links), partition_stats = self._marks_stats(
+            marks_info.snapshot_id
+        )
 
         discovered = fetched.select(F.explode("__outlinks").alias("url"))
 
@@ -285,6 +291,10 @@ class CrawlEngine:
             "dedup_dropped": n_discovered - n_new,
             "sched_and_dedup_urls": n_sched + n_links,
             "frontier_rows": self._frontier_row_count(),
+            # per-partition fetch/parse counters (north_rule "per-partition
+            # lineage + metrics"): one entry per marks part-file, which maps
+            # 1:1 to the fetch task that produced it
+            "partitions": partition_stats,
         }
 
         # 6. periodic compaction: fold deltas into fresh base checkpoints
@@ -314,25 +324,41 @@ class CrawlEngine:
         fused.unpersist()
         return metrics
 
-    def _marks_stats(self, snapshot_id: int) -> tuple[int, int, int, int]:
-        """(n_scheduled, n_failed, n_items, n_links) from the written marks
-        parquet, summed driver-side — marks are one row per scheduled URL."""
+    def _marks_stats(
+        self, snapshot_id: int
+    ) -> tuple[tuple[int, int, int, int], list[dict]]:
+        """((n_scheduled, n_failed, n_items, n_links), per-partition stats)
+        from the written marks parquet, summed driver-side — marks are one
+        row per scheduled URL and each part-file is one fetch task's
+        output, so per-file counters ARE the per-partition metrics."""
         import pyarrow.parquet as pq
 
+        snap_dir = self.marks_table.snapshot_dir(snapshot_id)
         n = nf = ni = nl = 0
-        for f in glob.glob(
-            os.path.join(
-                self.marks_table.snapshot_dir(snapshot_id), "**", "*.parquet"
-            ),
-            recursive=True,
+        parts = []
+        for f in sorted(
+            glob.glob(os.path.join(snap_dir, "**", "*.parquet"), recursive=True)
         ):
             tbl = pq.read_table(f, columns=["m_state", "m_items", "m_links"])
-            n += tbl.num_rows
             states = tbl.column("m_state").to_pylist()
-            nf += sum(1 for s in states if s == "failed")
-            ni += int(sum(x or 0 for x in tbl.column("m_items").to_pylist()))
-            nl += int(sum(x or 0 for x in tbl.column("m_links").to_pylist()))
-        return n, nf, ni, nl
+            pf = sum(1 for s in states if s.startswith("failed"))
+            pi = int(sum(x or 0 for x in tbl.column("m_items").to_pylist()))
+            pl = int(sum(x or 0 for x in tbl.column("m_links").to_pylist()))
+            n += tbl.num_rows
+            nf += pf
+            ni += pi
+            nl += pl
+            if tbl.num_rows:
+                parts.append(
+                    {
+                        "file": os.path.relpath(f, snap_dir),
+                        "fetched": tbl.num_rows - pf,
+                        "failed": pf,
+                        "items": pi,
+                        "links": pl,
+                    }
+                )
+        return (n, nf, ni, nl), parts
 
     def run(self, n_ticks: int) -> list[dict]:
         out = []

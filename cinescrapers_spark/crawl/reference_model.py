@@ -110,6 +110,7 @@ class ReferenceCrawl:
     default_rank: float = 0.5
     default_delay: float = 1.0
     staleness_ticks: int = STALENESS_TICKS
+    max_retries: int = MAX_RETRIES
     robots: dict[str, list[str]] | None = None  # host -> disallow prefixes
     frontier: dict[str, RefUrl] = field(default_factory=dict)  # by url_norm
     seen: set[int] = field(default_factory=set)
@@ -187,7 +188,7 @@ class ReferenceCrawl:
             else:
                 r.retries += 1
                 r.state = (
-                    "failed_permanent" if r.retries >= MAX_RETRIES else "failed"
+                    "failed_permanent" if r.retries >= self.max_retries else "failed"
                 )
                 n_fail += 1
             r.last_fetch_tick = t

@@ -182,12 +182,12 @@ def test_retry_backoff_and_permanent_dropout(spark, tmp_path):
     seeds = synthetic_seed_urls(60, seed=3)
     eng = CrawlEngine(spark, str(tmp_path / "c"), hosts, num_shards=8,
                       tick_seconds=30.0, max_per_tick=10, staleness_ticks=1,
-                      compact_every=4)
+                      compact_every=4, max_retries=2)
     eng.bootstrap(spark.createDataFrame(seeds))
     em = eng.run(10)
 
     ref = ReferenceCrawl(host_info, tick_seconds=30.0, max_per_tick=10,
-                         staleness_ticks=1, robots=robots)
+                         staleness_ticks=1, max_retries=2, robots=robots)
     ref.bootstrap([s["url"] for s in seeds])
     rm = ref.run(len(em))
     for e, r in zip(em, rm):
@@ -203,8 +203,9 @@ def test_retry_backoff_and_permanent_dropout(spark, tmp_path):
     # a permanent drop-out for the assertion to mean anything
     n_perm = sum(1 for _, s, _ in got if s == "failed_permanent")
     n_retrying = sum(1 for _, s, r in got if s == "failed" and r >= 1)
-    assert n_perm + n_retrying > 0, "fixture produced no retry activity"
-    assert MAX_RETRIES == 4
+    assert n_perm > 0, "fixture produced no permanent drop-outs"
+    assert n_retrying > 0, "fixture produced no retry activity"
+    assert MAX_RETRIES == 4  # default unchanged; test shrinks it to 2
 
 
 def test_mid_tick_crash_resume(spark, tmp_path):

@@ -48,13 +48,17 @@ def q_fill_forward(spark: SparkSession, sf: str) -> DataFrame:
 # --- per-group budget rank (politeness cap: Semaphore(25),
 #     ref bfi/scrape.py:117 → row_number <= budget) --------------------------
 def q_budget_rank(spark: SparkSession, sf: str) -> DataFrame:
-    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
-    return (
-        load(spark, sf, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("event_type", "event_id", F.round("value", 4).alias("val"), "rn")
-    )
+    # event_type has a handful of distinct values → a bare window would
+    # funnel the whole fact table through that many reducers; partitioned
+    # top-k bounds the final exchange (same pattern as the ANN queries)
+    from cinescrapers_spark.plans.similarity import partitioned_topk
+
+    return partitioned_topk(
+        load(spark, sf, "events"),
+        ["event_type"],
+        [F.desc("value"), F.asc("event_id")],
+        3,
+    ).select("event_type", "event_id", F.round("value", 4).alias("val"), "rn")
 
 
 # --- lag/delta per group (recency scoring input for the frontier priority) --

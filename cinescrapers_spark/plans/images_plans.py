@@ -90,12 +90,44 @@ def q_images_embed_ann(spark: SparkSession, sf: str) -> DataFrame:
     ).select("q_id", "image_id", F.round("cos_raw", 4).alias("cosine"))
 
 
+def q_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-payload decode census: waveform features for decodable rows,
+    per-row decode_error for the stub-gated formats (multimodal plumbing,
+    round brief; exactness gates in tests/test_images.py)."""
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.images.multimodal import audio_df, audio_stats
+
+    stats = audio_stats(audio_df(spark, n=100, seed=42))
+    return stats.groupBy((F.col("decode_error").isNull()).alias("decoded")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.round(F.avg("duration_sec"), 4).alias("avg_duration"),
+    )
+
+
+def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling stage: every 4th frame per clip with mean luma
+    (one clip row → many frame rows); stubbed codecs surface as error rows."""
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.images.multimodal import sample_frames, video_df
+
+    frames = sample_frames(video_df(spark, n=40, seed=42), every_k=4)
+    return frames.select(
+        "video_id", "frame_idx", F.round("mean_lum", 4).alias("mean_lum"),
+        "decode_error",
+    )
+
+
 QUERIES = {
-    name: (fn, None)  # rows-only: the images table is engine-generated
+    name: (fn, None)  # rows-only: the media tables are engine-generated
     for name, fn in [
         ("q_images_decode_stats", q_images_decode_stats),
         ("q_images_thumbnails", q_images_thumbnails),
         ("q_images_caption_norm", q_images_caption_norm),
         ("q_images_embed_ann", q_images_embed_ann),
+        ("q_audio_stats", q_audio_stats),
+        ("q_video_frame_sample", q_video_frame_sample),
     ]
 }

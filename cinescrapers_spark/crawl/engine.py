@@ -66,6 +66,7 @@ class CrawlEngine:
         compact_every: int = 8,
         staleness_ticks: int = STALENESS_TICKS,
         max_retries: int = MAX_RETRIES,
+        max_depth: int | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -79,6 +80,7 @@ class CrawlEngine:
         self.compact_every = compact_every
         self.staleness_ticks = staleness_ticks
         self.max_retries = max_retries
+        self.max_depth = max_depth
         # robots dimension: disallow-prefix filter applied before scheduling
         self.robots = (
             hosts.select("host", "robots_disallow")
@@ -196,12 +198,14 @@ class CrawlEngine:
             max_per_tick=self.max_per_tick,
             staleness_ticks=self.staleness_ticks,
             robots=self.robots,
+            max_depth=self.max_depth,
         )
         fetched = (
             sched.withColumn("__f", fetch_parse_expand_udf(F.col("url_norm")))
             .select(
                 "url_hash",
                 "retries",
+                "depth",
                 F.col("__f.ok").alias("__ok"),
                 F.col("__f.outlinks").alias("__outlinks"),
                 F.col("__f.n_items").alias("__n_items"),
@@ -240,7 +244,12 @@ class CrawlEngine:
             marks_info.snapshot_id
         )
 
-        discovered = fetched.select(F.explode("__outlinks").alias("url"))
+        # discoveries inherit parent depth + 1 (BFS shortest-path depth;
+        # duplicates keep the min via the seen-cogroup dedup)
+        discovered = fetched.select(
+            F.explode("__outlinks").alias("url"),
+            (F.col("depth") + 1).alias("depth"),
+        )
 
         # 3. frontier-shape the discoveries. No groupBy dedup here: the
         #    seen-probe cogroup shuffles by url_hash anyway and dedups
@@ -382,4 +391,5 @@ class CrawlEngine:
             max_per_tick=self.max_per_tick,
             staleness_ticks=self.staleness_ticks,
             robots=self.robots,
+            max_depth=self.max_depth,
         )

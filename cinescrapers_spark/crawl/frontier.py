@@ -115,14 +115,23 @@ def init_frontier(
     tick_col = (
         F.min("discovered_tick") if "discovered_tick" in raw_urls.columns else F.lit(tick)
     )
+    depth_in = (
+        F.col("depth") if "depth" in raw_urls.columns else F.lit(0)
+    )
     if dedup:
-        # one frontier row per canonical URL; keep min(url) as the raw exemplar
+        # one frontier row per canonical URL; keep min(url) as the raw
+        # exemplar and min(depth) (BFS shortest-path depth)
         dedup_df = canon.groupBy("url_norm").agg(
-            F.min("url").alias("url"), tick_col.alias("discovered_tick")
+            F.min("url").alias("url"),
+            tick_col.alias("discovered_tick"),
+            F.min(depth_in).alias("__depth"),
         )
     else:
         dedup_df = canon.select(
-            "url_norm", "url", F.lit(tick).alias("discovered_tick")
+            "url_norm",
+            "url",
+            F.lit(tick).alias("discovered_tick"),
+            depth_in.alias("__depth"),
         )
     f = (
         dedup_df.withColumn("url_hash", F.xxhash64("url_norm"))
@@ -141,8 +150,9 @@ def init_frontier(
         .withColumn("last_fetch_tick", F.lit(None).cast("int"))
         .withColumn("state", F.lit("pending"))
         .withColumn("retries", F.lit(0))
-        .withColumn("depth", F.lit(0))
+        .withColumn("depth", F.col("__depth").cast("int"))
         .withColumn("discovered_tick", F.col("discovered_tick").cast("int"))
+        .drop("__depth")
     )
     return f.select(*[c.name for c in FRONTIER.fields])
 
@@ -213,13 +223,18 @@ def schedule_tick(
     max_per_tick: int = 25,
     staleness_ticks: int = STALENESS_TICKS,
     robots: DataFrame | None = None,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """Select this tick's fetch set: eligible rows (priority>0: pending or
-    stale, not permanently failed, not robots-blocked), top-budget per host
-    in ONE shuffle via partial-then-global top-k."""
+    stale, not permanently failed, not robots-blocked, within the crawl
+    depth cap — the reference's keep-first-N-pages bounds,
+    barbican/scrape.py:25), top-budget per host in ONE shuffle via
+    partial-then-global top-k."""
     scored = with_priority(frontier, tick, staleness_ticks).filter(
         F.col("priority") > 0
     )
+    if max_depth is not None:
+        scored = scored.filter(F.col("depth") <= max_depth)
     if robots is not None:
         scored = apply_robots(scored, robots)
     scored = scored.withColumn(

@@ -98,6 +98,7 @@ class RefUrl:
     last_fetch_tick: int | None = None
     state: str = "pending"
     retries: int = 0
+    depth: int = 0
 
 
 @dataclass
@@ -111,28 +112,36 @@ class ReferenceCrawl:
     default_delay: float = 1.0
     staleness_ticks: int = STALENESS_TICKS
     max_retries: int = MAX_RETRIES
+    max_depth: int | None = None
     robots: dict[str, list[str]] | None = None  # host -> disallow prefixes
     frontier: dict[str, RefUrl] = field(default_factory=dict)  # by url_norm
     seen: set[int] = field(default_factory=set)
     schedules: list[list[str]] = field(default_factory=list)  # url_norms per tick
     tick_no: int = 0
 
-    def _add_urls(self, raw_urls: list[str], tick: int) -> int:
+    def _add_urls(
+        self, raw_urls: list[str | tuple[str, int]], tick: int
+    ) -> int:
         new = 0
-        batch: dict[str, str] = {}
-        for u in raw_urls:
+        batch: dict[str, tuple[int, str]] = {}
+        for item in raw_urls:
+            u, depth = item if isinstance(item, tuple) else (item, 0)
             cn = canonicalize_url_py(u)
             if cn is None:
                 continue
-            if cn not in batch or u < batch[cn]:
-                batch[cn] = u  # min(url) exemplar, like init_frontier
-        for cn, u in batch.items():
+            # exemplar = min (depth, url): BFS shortest-path depth first,
+            # then lexicographic url (engine-kernel parity)
+            if cn not in batch or (depth, u) < batch[cn]:
+                batch[cn] = (depth, u)
+        for cn, (depth, u) in batch.items():
             h = xxhash64_spark(cn)
             if h in self.seen:
                 continue
             host = cn.split("://", 1)[1].split("/", 1)[0]
             rank, delay = self.host_info.get(host, (self.default_rank, self.default_delay))
-            self.frontier[cn] = RefUrl(u, cn, h, host, rank, delay, tick)
+            self.frontier[cn] = RefUrl(
+                u, cn, h, host, rank, delay, tick, depth=depth
+            )
             self.seen.add(h)
             new += 1
         return new
@@ -164,6 +173,8 @@ class ReferenceCrawl:
         t = self.tick_no
         by_host: dict[str, list[tuple[float, int, RefUrl]]] = {}
         for r in self.frontier.values():
+            if self.max_depth is not None and r.depth > self.max_depth:
+                continue
             p = self._priority(r, t)
             if p > 0 and not self._robots_blocked(r):
                 by_host.setdefault(r.host, []).append((p, r.url_hash, r))
@@ -177,14 +188,14 @@ class ReferenceCrawl:
             scheduled.extend(r for _, _, r in rows[:budget])
         self.schedules.append(sorted(r.url_norm for r in scheduled))
 
-        discovered: list[str] = []
+        discovered: list[tuple[str, int]] = []
         n_fail = 0
         for r in scheduled:
             ok, links, _n_items = fetch_and_parse(r.url_norm)
             if ok:
                 r.state = "fetched"
                 r.retries = 0  # success resets the backoff (engine parity)
-                discovered.extend(links)
+                discovered.extend((u, r.depth + 1) for u in links)
             else:
                 r.retries += 1
                 r.state = (

@@ -251,7 +251,10 @@ class SeenSet:
         bloom_bytes = self.bloom_bytes
         cand_cols = list(candidates.columns)
         hname = hash_col
-        sort_keys = [hname] + (["url"] if "url" in cand_cols else [])
+        # exemplar rule for within-batch duplicates: min (depth, url) per
+        # hash — BFS shortest-path depth first, then the lexicographic url
+        # (mirrors the reference model's _add_urls)
+        sort_keys = [hname] + [c for c in ("depth", "url") if c in cand_cols]
 
         def fused(key, cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
             shard_id = int(key[0])

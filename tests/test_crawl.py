@@ -96,13 +96,16 @@ def test_crawl_metrics_match_reference(crawl_pair):
 def test_final_frontier_matches_reference(spark, crawl_pair):
     eng, _, ref, _ = crawl_pair
     got = {
-        (r.url_norm, r.state, r.last_fetch_tick)
+        (r.url_norm, r.state, r.last_fetch_tick, r.depth)
         for r in eng.frontier().collect()
     }
     want = {
-        (r.url_norm, r.state, r.last_fetch_tick) for r in ref.frontier.values()
+        (r.url_norm, r.state, r.last_fetch_tick, r.depth)
+        for r in ref.frontier.values()
     }
     assert got == want
+    # discoveries must actually deepen (depth column is live, not const 0)
+    assert any(d > 0 for *_rest, d in got)
 
 
 def test_seen_membership_matches_reference(spark, crawl_pair):
@@ -282,3 +285,31 @@ def test_seen_run_commits_are_o_changes(spark, tmp_path):
     probe = spark.range(60_000, 60_050).select(F.xxhash64("id").alias("url_hash"))
     assert seen.filter_unseen(probe).count() == 50
     assert seen.total_keys() == 50_100
+
+
+def test_depth_cap_lockstep(spark, tmp_path):
+    """max_depth bounds the crawl like the reference's page caps
+    (barbican/scrape.py:25); engine and model agree on depths and on what
+    a depth-capped schedule contains."""
+    hosts = hosts_df(spark, extra_hosts=["megacinema.example.com"])
+    host_rows = hosts.collect()
+    host_info = {r.host: (r.host_rank, r.crawl_delay) for r in host_rows}
+    robots = {r.host: list(r.robots_disallow or []) for r in host_rows}
+    seeds = synthetic_seed_urls(80, seed=21)
+    eng = CrawlEngine(spark, str(tmp_path / "d"), hosts, num_shards=8,
+                      tick_seconds=30.0, max_per_tick=10, max_depth=1)
+    eng.bootstrap(spark.createDataFrame(seeds))
+    em = eng.run(3)
+    ref = ReferenceCrawl(host_info, tick_seconds=30.0, max_per_tick=10,
+                         max_depth=1, robots=robots)
+    ref.bootstrap([s["url"] for s in seeds])
+    rm = ref.run(3)
+    for e, r in zip(em, rm):
+        assert (e["scheduled"], e["new_unseen"]) == (r["scheduled"], r["new_unseen"])
+    got = {(r.url_norm, r.depth) for r in eng.frontier().collect()}
+    want = {(r.url_norm, r.depth) for r in ref.frontier.values()}
+    assert got == want
+    # depth-2 rows exist in the frontier but were never scheduled
+    assert any(d == 2 for _, d in got)
+    for t in range(1, 4):
+        assert all(r.depth <= 1 for r in eng.scheduled_set(t).collect())

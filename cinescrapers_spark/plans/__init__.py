@@ -21,6 +21,7 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         dedup,
         images_plans,
         joins,
+        pipeline_ops,
         similarity,
         textops,
         windows,
@@ -36,6 +37,7 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         textops,
         images_plans,
         advanced,
+        pipeline_ops,
     ):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:

@@ -122,6 +122,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
 
+    # One untimed warmup pass: JVM JIT + codegen + parquet-reader + noop-sink
+    # init otherwise lands entirely on the first timed query (~2s of the
+    # ~2.4s previously attributed to q_pricing_summary was one-time JIT).
+    # Standard benchmarking practice; the cold-start cost is a constant,
+    # not a property of any query plan. Recorded in BASELINE.md §D.1.
+    from pyspark.sql import functions as F  # noqa: N812
+
+    warm = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .join(spark.range(100).withColumnRenamed("id", "r_regionkey"), "r_regionkey")
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n"))
+    )
+    warm.write.format("noop").mode("overwrite").save()
+
     queries: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = reg[name]

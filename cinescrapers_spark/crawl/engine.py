@@ -44,10 +44,14 @@ from cinescrapers_spark.crawl.frontier import (
     init_frontier,
     schedule_tick,
 )
+from cinescrapers_spark.crawl.harvest import ImageHarvester
 from cinescrapers_spark.crawl.seen import SeenSet
 from cinescrapers_spark.crawl.snapshots import SnapshotTable
 from cinescrapers_spark.schemas import FRONTIER
-from cinescrapers_spark.sources.pages import fetch_parse_expand_udf
+from cinescrapers_spark.sources.pages import (
+    fetch_parse_expand_udf,
+    fetch_parse_harvest_udf,
+)
 
 _FRONTIER_COLS = [f.name for f in FRONTIER.fields]
 
@@ -67,6 +71,7 @@ class CrawlEngine:
         staleness_ticks: int = STALENESS_TICKS,
         max_retries: int = MAX_RETRIES,
         max_depth: int | None = None,
+        harvest_images: bool = False,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -92,6 +97,13 @@ class CrawlEngine:
         self.marks_table = SnapshotTable(os.path.join(workdir, "frontier_marks"))
         self.seen = SeenSet(
             SnapshotTable(os.path.join(workdir, "seen_shards")), num_shards=num_shards
+        )
+        # image+caption payload harvest (north_rule axis B): parsed cards →
+        # dedup-before-fetch → input_hint-shaped images table, per tick
+        self.harvester = (
+            ImageHarvester(workdir, num_shards=min(16, num_shards))
+            if harvest_images
+            else None
         )
         self.metrics_path = os.path.join(workdir, "metrics.jsonl")
 
@@ -120,11 +132,15 @@ class CrawlEngine:
         a crash between commits leaves a partial tick, which re-runs."""
         if self.base_table.latest() is None:
             return -1  # not bootstrapped
-        return min(
+        ticks = [
             self._max_tick(self.marks_table),
             self._max_tick(self.adds_table),
             self._max_tick(self.seen.table),
-        )
+        ]
+        if self.harvester is not None:
+            ticks.append(self._max_tick(self.harvester.table))
+            ticks.append(self._max_tick(self.harvester.seen.table))
+        return min(ticks)
 
     # -- merge-on-read reconstruction -------------------------------------------
     def _entries_upto(self, table: SnapshotTable, lo: int, hi: int) -> list[dict]:
@@ -200,8 +216,17 @@ class CrawlEngine:
             robots=self.robots,
             max_depth=self.max_depth,
         )
+        kernel = (
+            fetch_parse_harvest_udf if self.harvester is not None
+            else fetch_parse_expand_udf
+        )
+        extra = (
+            [F.col("__f.cards").alias("__cards")]
+            if self.harvester is not None
+            else []
+        )
         fetched = (
-            sched.withColumn("__f", fetch_parse_expand_udf(F.col("url_norm")))
+            sched.withColumn("__f", kernel(F.col("url_norm")))
             .select(
                 "url_hash",
                 "retries",
@@ -209,6 +234,7 @@ class CrawlEngine:
                 F.col("__f.ok").alias("__ok"),
                 F.col("__f.outlinks").alias("__outlinks"),
                 F.col("__f.n_items").alias("__n_items"),
+                *extra,
             )
             .cache()
         )
@@ -289,6 +315,20 @@ class CrawlEngine:
         )
         timings["adds_commit"] = time.time() - tj
 
+        # 5b. image+caption harvest (axis B payload): explode this tick's
+        #     parsed cards, dedup against the image seen-set, acquire only
+        #     the fresh ones, commit as the tick's images run
+        harvest_metrics = {}
+        if self.harvester is not None:
+            tj = time.time()
+            cards = fetched.filter(F.col("__ok")).select(
+                F.explode("__cards").alias("c")
+            ).select(
+                F.col("c.img").alias("url"), F.col("c.caption").alias("caption")
+            )
+            harvest_metrics = self.harvester.harvest_tick(cards, tick=t)
+            timings["harvest"] = time.time() - tj
+
         metrics = {
             "tick": t,
             "scheduled": n_sched,
@@ -304,6 +344,7 @@ class CrawlEngine:
             # lineage + metrics"): one entry per marks part-file, which maps
             # 1:1 to the fetch task that produced it
             "partitions": partition_stats,
+            **harvest_metrics,
         }
 
         # 6. periodic compaction: fold deltas into fresh base checkpoints

@@ -114,9 +114,11 @@ class ReferenceCrawl:
     max_retries: int = MAX_RETRIES
     max_depth: int | None = None
     robots: dict[str, list[str]] | None = None  # host -> disallow prefixes
+    harvest: bool = False  # collect image+caption pairs per tick
     frontier: dict[str, RefUrl] = field(default_factory=dict)  # by url_norm
     seen: set[int] = field(default_factory=set)
     schedules: list[list[str]] = field(default_factory=list)  # url_norms per tick
+    images: dict[str, str] = field(default_factory=dict)  # image_url -> caption
     tick_no: int = 0
 
     def _add_urls(
@@ -189,6 +191,7 @@ class ReferenceCrawl:
         self.schedules.append(sorted(r.url_norm for r in scheduled))
 
         discovered: list[tuple[str, int]] = []
+        card_batch: dict[str, str] = {}  # image_url -> min caption this tick
         n_fail = 0
         for r in scheduled:
             ok, links, _n_items = fetch_and_parse(r.url_norm)
@@ -196,6 +199,14 @@ class ReferenceCrawl:
                 r.state = "fetched"
                 r.retries = 0  # success resets the backoff (engine parity)
                 discovered.extend((u, r.depth + 1) for u in links)
+                if self.harvest:
+                    from cinescrapers_spark.sources.pages import parse_cards
+
+                    for caption, img in parse_cards(r.url_norm):
+                        # exemplar = min (url, caption) within the tick,
+                        # first tick wins across ticks (engine-kernel parity)
+                        if img not in card_batch or caption < card_batch[img]:
+                            card_batch[img] = caption
             else:
                 r.retries += 1
                 r.state = (
@@ -204,12 +215,21 @@ class ReferenceCrawl:
                 n_fail += 1
             r.last_fetch_tick = t
         n_new = self._add_urls(discovered, t)
-        return {
+        n_new_images = 0
+        if self.harvest:
+            for img in sorted(card_batch):
+                if img not in self.images:
+                    self.images[img] = card_batch[img]
+                    n_new_images += 1
+        out = {
             "tick": t,
             "scheduled": len(scheduled),
             "fetch_failed": n_fail,
             "new_unseen": n_new,
         }
+        if self.harvest:
+            out["new_images"] = n_new_images
+        return out
 
     def run(self, n_ticks: int) -> list[dict]:
         return [self.tick() for _ in range(n_ticks)]

@@ -253,8 +253,12 @@ class SeenSet:
         hname = hash_col
         # exemplar rule for within-batch duplicates: min (depth, url) per
         # hash — BFS shortest-path depth first, then the lexicographic url
-        # (mirrors the reference model's _add_urls)
-        sort_keys = [hname] + [c for c in ("depth", "url") if c in cand_cols]
+        # (mirrors the reference model's _add_urls); caption joins the key
+        # for the image-harvest instance (two pages captioning the same
+        # poster differently must resolve deterministically)
+        sort_keys = [hname] + [
+            c for c in ("depth", "url", "caption") if c in cand_cols
+        ]
 
         def fused(key, cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
             shard_id = int(key[0])

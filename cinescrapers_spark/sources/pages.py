@@ -93,6 +93,33 @@ _CARD_FIELDS = re.compile(
 )
 
 
+def _fetch_parse_full(
+    url_norm: str,
+) -> tuple[bool, list[str], int, list[tuple[str, str]]]:
+    """One pass over the body: (ok, canonical outlinks, item count, cards)
+    where cards = (caption, image_url) per card with a poster <img>."""
+    from cinescrapers_spark.functions.urls import canonicalize_url_py
+
+    if not fetch_ok(url_norm):
+        return False, [], 0, []
+    body = synth_body(url_norm)
+    n_items = 0
+    cards: list[tuple[str, str]] = []
+    raw_links = list(page_outlinks(url_norm))
+    for i, m in enumerate(_CARD_FIELDS.finditer(body)):
+        n_items += 1
+        if i % CARD_LINK_STRIDE == 0:
+            raw_links.append(m.group("link"))
+        if m.group("img"):
+            cards.append((m.group("title"), m.group("img")))
+    links = []
+    for raw in raw_links:
+        c = canonicalize_url_py(raw)
+        if c is not None:
+            links.append(c)
+    return True, links, n_items, cards
+
+
 def fetch_and_parse(url_norm: str) -> tuple[bool, list[str], int]:
     """Full per-URL fetch model: resolve → body → parse fields → outlinks.
     Returns (ok, canonical outlinks, parsed item count). The parse is real
@@ -101,29 +128,34 @@ def fetch_and_parse(url_norm: str) -> tuple[bool, list[str], int]:
     detail pages) alongside the pagination outlinks. Shared verbatim by
     the Spark engine (inside the Arrow kernel) and the single-threaded
     reference model — semantics live in exactly one place."""
-    from cinescrapers_spark.functions.urls import canonicalize_url_py
-
-    if not fetch_ok(url_norm):
-        return False, [], 0
-    body = synth_body(url_norm)
-    n_items = 0
-    raw_links = list(page_outlinks(url_norm))
-    for i, m in enumerate(_CARD_FIELDS.finditer(body)):
-        n_items += 1
-        if i % CARD_LINK_STRIDE == 0:
-            raw_links.append(m.group("link"))
-    links = []
-    for raw in raw_links:
-        c = canonicalize_url_py(raw)
-        if c is not None:
-            links.append(c)
-    return True, links, n_items
+    ok, links, n_items, _ = _fetch_parse_full(url_norm)
+    return ok, links, n_items
 
 
 @lazy_pandas_udf("struct<ok: boolean, outlinks: array<string>, n_items: int>")
 def fetch_parse_expand_udf(url_norm: pd.Series) -> pd.DataFrame:
     rows = [fetch_and_parse(u) for u in url_norm]
     return pd.DataFrame(rows, columns=["ok", "outlinks", "n_items"])
+
+
+def parse_cards(url_norm: str) -> list[tuple[str, str]]:
+    """(caption, image_url) per parsed card with a poster image — the
+    image+caption pair source for the harvest stage (north_rule: crawl over
+    image + caption pairs). Same body + regex as fetch_and_parse, so
+    len(parse_cards) ≤ n_items with equality when every card has an <img>."""
+    return _fetch_parse_full(url_norm)[3]
+
+
+@lazy_pandas_udf(
+    "struct<ok: boolean, outlinks: array<string>, n_items: int, "
+    "cards: array<struct<caption: string, img: string>>>"
+)
+def fetch_parse_harvest_udf(url_norm: pd.Series) -> pd.DataFrame:
+    """Fused fetch+parse+harvest kernel: fetch_and_parse's exact outputs
+    (the crawl-equivalence contract) PLUS the per-card image+caption pairs,
+    in one pass over the body per URL."""
+    rows = [_fetch_parse_full(u) for u in url_norm]
+    return pd.DataFrame(rows, columns=["ok", "outlinks", "n_items", "cards"])
 
 
 @lazy_pandas_udf("array<string>")

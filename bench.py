@@ -154,8 +154,7 @@ def main() -> None:
     # achieved under; normalized = spark/host isolates the engine. ALL
     # rounds are recorded; the best raw round is the capability number.
     crawl_rounds = []
-    for _attempt in range(2):  # bounded wall: a capacity-degraded host
-        # (low host_capacity_efficiency) won't clear the gate on a 3rd try
+    for attempt in range(3):
         capN, cap4N, cap_eff = host_capacity_ratio()
         bN = run_crawl_bench(BENCH_N)
         b4N = run_crawl_bench(BENCH_4N)
@@ -173,6 +172,12 @@ def main() -> None:
             }
         )
         if eff >= 0.8:
+            break
+        # a 3rd attempt is only worth its wall-clock when the miss is
+        # explained by the MACHINE (its own spin-loop scaling was degraded
+        # at measurement time); if the host was healthy and we still
+        # missed, retrying measures the same engine again
+        if attempt == 1 and cap_eff >= 0.9:
             break
     best = max(crawl_rounds, key=lambda r: r["efficiency"])
     thrN, thr4N, efficiency = (
@@ -215,6 +220,11 @@ def main() -> None:
                     "throughput_at_N": thrN,
                     "throughput_at_4N": thr4N,
                     "scaling_efficiency_N_to_4N": efficiency,
+                    # efficiency / the host's own raw CPU scaling ratio at
+                    # measurement time (spin-loop co-measurement): isolates
+                    # the ENGINE's scaling from shared-hypervisor drift
+                    "normalized_efficiency": best["normalized_efficiency"],
+                    "host_capacity_efficiency": best["host_capacity_efficiency"],
                     "rounds": crawl_rounds,
                     "wall_at_N": bN["total_wall_sec"],
                     "wall_at_4N": b4N["total_wall_sec"],

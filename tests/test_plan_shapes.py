@@ -49,6 +49,24 @@ def test_ann_topk_keeps_salted_prepass(spark, sf_dir):
         assert n_windows >= 2, f"{name}: expected pre+final windows\n{plan}"
 
 
+def test_blocked_selfjoins_are_equijoins(spark, sf_dir):
+    """The near-dup ground-truth self-joins must hash/merge on their
+    blocking key (source / label / band) — a nested-loop over the corpus
+    would be the O(n²)-everywhere plan the blocking exists to avoid."""
+    reg = registry()
+    for name in ("q_dedup_ngram", "q_dedup_embed_cosine", "q_dedup_jaccard",
+                 "q_dedup_minhash_lsh"):
+        plan = _plan(reg[name][0](spark, sf_dir))
+        assert (
+            "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan
+        ), f"{name}: no equi-join in plan\n{plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: blocking key not used as join key\n{plan}"
+        )
+
+
 def test_no_unbroadcast_cartesian_anywhere(spark, sf_dir):
     """No registry query may compile to a CartesianProduct (a non-broadcast
     all-pairs shuffle); the documented all-pairs oracles go through

@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--hosts", type=int, default=10_000)
     ap.add_argument("--budget", type=int, default=100)
+    ap.add_argument("--harvest", action="store_true",
+                    help="also run the image+caption harvest stage per tick")
     args = ap.parse_args()
 
     import os
@@ -76,6 +78,7 @@ def main() -> None:
             tick_seconds=60.0,
             max_per_tick=args.budget,
             light_metrics=True,
+            harvest_images=args.harvest,
         )
         import pandas as pd
 
@@ -94,19 +97,18 @@ def main() -> None:
         metrics = eng.run(args.ticks)
         total_urls = sum(m["sched_and_dedup_urls"] for m in metrics)
         total_wall = sum(m["wall_sec"] for m in metrics)
-        print(
-            json.dumps(
-                {
-                    "cpus": args.cpus,
-                    "urls_in": args.urls,
-                    "warmup_tick": warm,
-                    "ticks": metrics,
-                    "total_urls": total_urls,
-                    "total_wall_sec": round(total_wall, 3),
-                    "throughput_urls_per_sec": round(total_urls / total_wall, 1),
-                }
-            )
-        )
+        out = {
+            "cpus": args.cpus,
+            "urls_in": args.urls,
+            "warmup_tick": warm,
+            "ticks": metrics,
+            "total_urls": total_urls,
+            "total_wall_sec": round(total_wall, 3),
+            "throughput_urls_per_sec": round(total_urls / total_wall, 1),
+        }
+        if args.harvest:
+            out["harvested_images"] = sum(m.get("new_images", 0) for m in metrics)
+        print(json.dumps(out))
         sys.stdout.flush()
     finally:
         shutil.rmtree(wd, ignore_errors=True)

@@ -361,6 +361,8 @@ class CrawlEngine:
                 idempotent=True,
             )
             self.seen.compact(self.spark, tick=t)
+            if self.harvester is not None:
+                self.harvester.seen.compact(self.spark, tick=t)
             timings["compaction"] = time.time() - tj
             metrics["compacted"] = True
 

@@ -103,6 +103,15 @@ class ImageHarvester:
 
         cols = [f.name for f in IMAGES.fields]
 
+        # AQE rightly coalesces the (url, caption) shuffle to ~1 partition
+        # (it is a few MB of strings) — but the EXPENSIVE work is the
+        # acquisition kernel DOWNSTREAM of it (~1.5 ms/image), so a serial
+        # stage would cap harvest throughput at one core (measured: 2→8
+        # cores gained nothing). Re-widen cheaply before the kernel: the
+        # repartition shuffles strings, never pixels.
+        spark = cards.sparkSession
+        width = spark.sparkContext.defaultParallelism
+
         def acquire(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if not len(pdf):
@@ -114,7 +123,11 @@ class ImageHarvester:
                     ]
                 )[cols]
 
-        rows = unseen.select("url", "caption").mapInPandas(acquire, schema=IMAGES)
+        rows = (
+            unseen.select("url", "caption")
+            .repartition(width)
+            .mapInPandas(acquire, schema=IMAGES)
+        )
         existing = self.table.entry_for(tick, tag="run")
         if existing is None:
             info = self.table.commit(

@@ -132,6 +132,29 @@ def test_harvest_resume_equivalence(spark, tmp_path):
     assert ta
 
 
+def test_harvest_survives_seen_compaction(spark, tmp_path):
+    """With compact_every=2 the image seen-set folds its runs into a base
+    mid-run; dedup must keep filtering across the fold (no re-harvest) and
+    the final table must equal the no-compaction run's."""
+    hosts = hosts_df(spark, extra_hosts=["megacinema.example.com"])
+    seeds = synthetic_seed_urls(80, seed=31)
+    raw = spark.createDataFrame(seeds)
+
+    a = _engine(spark, tmp_path / "a", hosts, compact_every=2)
+    a.bootstrap(raw)
+    a.run(4)
+
+    b = _engine(spark, tmp_path / "b", hosts, compact_every=0)
+    b.bootstrap(raw)
+    b.run(4)
+
+    ta = {tuple(r) for r in a.harvester.read(spark).collect()}
+    tb = {tuple(r) for r in b.harvester.read(spark).collect()}
+    assert ta == tb and ta
+    # post-compaction key count still equals the table (nothing re-added)
+    assert a.harvester.seen.total_keys(spark) == len(ta)
+
+
 def test_harvest_does_not_perturb_crawl(spark, tmp_path):
     hosts = hosts_df(spark, extra_hosts=["megacinema.example.com"])
     seeds = synthetic_seed_urls(80, seed=29)

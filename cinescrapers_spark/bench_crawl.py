@@ -80,12 +80,27 @@ def main() -> None:
             light_metrics=True,
             harvest_images=args.harvest,
         )
-        import pandas as pd
+        if args.urls >= 2_000_000:
+            # web-scale inputs generate distributed (a driver-side Python
+            # list of 10M dicts is its own bottleneck); same distribution,
+            # different RNG — see synthetic_seed_df
+            from cinescrapers_spark.crawl.frontier import synthetic_seed_df
 
-        seeds = synthetic_seed_urls(
-            args.urls, seed=args.seed, mega_host_frac=0.3, n_extra_hosts=args.hosts
-        )
-        raw = spark.createDataFrame(pd.DataFrame(seeds)).repartition(args.cpus * 2)
+            raw = synthetic_seed_df(
+                spark, args.urls, seed=args.seed,
+                mega_host_frac=0.3, n_extra_hosts=args.hosts,
+                partitions=args.cpus * 2,
+            )
+        else:
+            import pandas as pd
+
+            seeds = synthetic_seed_urls(
+                args.urls, seed=args.seed, mega_host_frac=0.3,
+                n_extra_hosts=args.hosts,
+            )
+            raw = spark.createDataFrame(pd.DataFrame(seeds)).repartition(
+                args.cpus * 2
+            )
         eng.bootstrap(raw)
         # tick 1 is a warmup (JVM JIT + Python-worker pool spin-up) —
         # excluded from steady-state throughput, same exclusion at both

@@ -83,6 +83,64 @@ def synthetic_seed_urls(
     return rows
 
 
+def synthetic_seed_df(
+    spark: SparkSession,
+    n_urls: int,
+    seed: int = 42,
+    mega_host_frac: float = 0.3,
+    n_extra_hosts: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed twin of ``synthetic_seed_urls`` for web-scale inputs: the
+    same URL *distribution* (mega-domain share, host fleet, path space,
+    robots-disallowed slice, raw-form variants) generated JVM-side from
+    ``spark.range`` — a 10M+-row seed list must never be a driver-side
+    Python list (3 GB of dicts) shipped through createDataFrame. Every
+    derived value hashes (id, seed, salt), so the output is a pure function
+    of (n_urls, seed) independent of partitioning.
+
+    Not byte-identical to the Python generator (different RNG); tests that
+    compare against the single-threaded reference model keep using
+    ``synthetic_seed_urls`` — this one feeds benches and stress runs.
+    """
+    from cinescrapers_spark.dims import seed_hosts
+
+    hosts = seed_hosts() + [f"host-{i}.example.com" for i in range(n_extra_hosts)]
+    mega = "megacinema.example.com"
+    n_parts = partitions or spark.sparkContext.defaultParallelism * 2
+    df = spark.range(0, n_urls, numPartitions=n_parts)
+
+    def bucket(salt: int, mod: int):
+        return F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(salt)), F.lit(mod))
+
+    host_arr = F.array(*[F.lit(x) for x in hosts])
+    host = F.when(
+        bucket(1, 10_000) < int(mega_host_frac * 10_000), F.lit(mega)
+    ).otherwise(
+        F.element_at(host_arr, (bucket(2, len(hosts)) + 1).cast("int"))
+    )
+    path = F.when(
+        bucket(4, 10_000) < 500,  # 5% robots-disallowed slice (dims prefixes)
+        F.concat(F.lit("/private/page"), bucket(6, 50)),
+    ).otherwise(
+        F.concat(F.lit("/whats-on/page"), bucket(3, max(2, n_urls // 20)))
+    )
+    style = bucket(5, 100)
+    url = (
+        F.when(style < 10, F.concat(F.lit("https://"), F.upper(host), path))
+        .when(
+            style < 20,
+            F.concat(
+                F.lit("https://"), host, path,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .when(style < 25, F.concat(F.lit("//"), host, path))
+        .otherwise(F.concat(F.lit("https://"), host, path))
+    )
+    return df.select(url.alias("url"), F.lit(0).alias("discovered_tick"))
+
+
 def init_frontier(
     spark: SparkSession,
     raw_urls: DataFrame,

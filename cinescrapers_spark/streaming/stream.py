@@ -52,6 +52,37 @@ def start_ingest_stream(
     )
 
 
+CARD = "url string, caption string"
+
+
+def start_harvest_stream(
+    spark: SparkSession,
+    cards_dir: str,
+    harvester,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming phrasing of the image+caption harvest (crawl/harvest.py):
+    a file-source stream of parsed-card drops → per micro-batch, probe the
+    image seen-set and acquire only first-ever-seen posters.
+
+    foreachBatch is at-least-once, but ``harvest_tick`` commits are
+    idempotent per tick and probe state as-of tick-1 — a replayed batch
+    recomputes byte-identical rows and skips the landed commit, so the
+    images table is effectively exactly-once."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        harvester.harvest_tick(batch_df, tick=int(batch_id) + 1)
+
+    return (
+        spark.readStream.schema(CARD)
+        .parquet(cards_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "10 minutes",

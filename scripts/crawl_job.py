@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=25)
     ap.add_argument("--tick-seconds", type=float, default=60.0)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--harvest", action="store_true",
+                    help="harvest image+caption pairs into the images table")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest snapshot in --workdir")
     args = ap.parse_args()
@@ -50,6 +52,7 @@ def main() -> None:
         num_shards=args.shards,
         tick_seconds=args.tick_seconds,
         max_per_tick=args.budget,
+        harvest_images=args.harvest,
     )
     if not args.resume:
         seeds = synthetic_seed_urls(

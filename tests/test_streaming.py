@@ -105,3 +105,38 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
         ("b.com", "https://b.com/1"),
         ("b.com", "https://a.com/1"),  # per-host state: no cross-host leak
     }
+
+
+def test_stream_harvest_exactly_once(spark, tmp_path):
+    """Card drops stream into the image harvester: cross-batch dedup via
+    the seen-set, and a restart from the checkpoint does not re-acquire
+    (idempotent tick commits + at-least-once foreachBatch = exactly-once
+    images table)."""
+    import pandas as pd  # noqa: F401  (pattern parity with module tests)
+
+    from cinescrapers_spark.crawl.harvest import ImageHarvester
+    from cinescrapers_spark.streaming.stream import start_harvest_stream
+
+    cards_dir = str(tmp_path / "cards")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(cards_dir)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "url string, caption string").coalesce(
+            1
+        ).write.mode("append").parquet(cards_dir)
+
+    # overlapping posters across two drops; caption tie resolved by min
+    drop([(f"https://h/img/{i}.jpg", f"cap {i}") for i in range(30)])
+    drop([(f"https://h/img/{i}.jpg", f"zzz {i}") for i in range(20, 50)])
+
+    harv = ImageHarvester(str(tmp_path / "harvest"), num_shards=4)
+    q = start_harvest_stream(spark, cards_dir, harv, ckpt)
+    q.awaitTermination(120)
+
+    imgs = {r["image_id"]: r["caption"] for r in harv.read(spark).collect()}
+    assert len(imgs) == 50  # 0..49, overlap deduped
+    # restart from the same checkpoint: no new batches → nothing re-acquired
+    q2 = start_harvest_stream(spark, cards_dir, harv, ckpt)
+    q2.awaitTermination(120)
+    assert {r["image_id"] for r in harv.read(spark).collect()} == set(imgs)

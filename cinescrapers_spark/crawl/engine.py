@@ -277,9 +277,15 @@ class CrawlEngine:
             (F.col("depth") + 1).alias("depth"),
         )
 
-        # 3. frontier-shape the discoveries. No groupBy dedup here: the
-        #    seen-probe cogroup shuffles by url_hash anyway and dedups
-        #    within-batch duplicates in the same pass (min-url exemplar).
+        # 3. frontier-shape the discoveries WITH the groupBy dedup: its
+        #    map-side partial combine collapses within-tick duplicates
+        #    (10-20× on boilerplate pagination links) BEFORE the rows ever
+        #    shuffle, so the seen-probe cogroup receives ~distinct narrow
+        #    rows instead of the raw explode (its own in-kernel dedup stays
+        #    as the cross-partition backstop). Measured: tick-3 probe step
+        #    at 8 cores 58 s → see BASELINE.md §D.2; the earlier dedup=False
+        #    "save a shuffle" reasoning priced the exchange but not the
+        #    duplication volume it removes.
         new_rows = init_frontier(
             self.spark,
             discovered,
@@ -287,7 +293,7 @@ class CrawlEngine:
             tick=t,
             n_salts=self.n_salts,
             already_canonical=True,
-            dedup=False,
+            dedup=True,
         )
         if not self.light_metrics:
             new_rows = new_rows.cache()

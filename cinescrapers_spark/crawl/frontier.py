@@ -177,12 +177,25 @@ def init_frontier(
         F.col("depth") if "depth" in raw_urls.columns else F.lit(0)
     )
     if dedup:
-        # one frontier row per canonical URL; keep min(url) as the raw
-        # exemplar and min(depth) (BFS shortest-path depth)
+        # one frontier row per canonical URL; exemplar = JOINT min
+        # (depth, url) — BFS shortest-path depth first, then the
+        # lexicographic raw form (the reference model's _add_urls rule;
+        # independent min(url)/min(depth) could stitch the url of one
+        # duplicate to the depth of another). groupBy gives map-side
+        # partial combine, so duplicate-heavy discovery batches collapse
+        # BEFORE any shuffle — at a 10-20× within-tick duplication factor
+        # (boilerplate pagination links) this is the difference between
+        # shuffling 14M rows and 1M into the seen-probe cogroup.
         dedup_df = canon.groupBy("url_norm").agg(
-            F.min("url").alias("url"),
+            F.min(F.struct(depth_in.alias("d"), F.col("url").alias("u"))).alias(
+                "__e"
+            ),
             tick_col.alias("discovered_tick"),
-            F.min(depth_in).alias("__depth"),
+        ).select(
+            "url_norm",
+            F.col("__e.u").alias("url"),
+            "discovered_tick",
+            F.col("__e.d").alias("__depth"),
         )
     else:
         dedup_df = canon.select(

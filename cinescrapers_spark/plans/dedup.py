@@ -221,6 +221,107 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_lsh_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with EXACT-DUPLICATE COLLAPSE first —
+    same output as q_dedup_minhash_lsh, the 100 TB plan shape.
+
+    Boilerplate corpora hold large clusters of token-identical documents;
+    every member of a cluster lands in the same bucket of EVERY band, so
+    the band join generates |cluster|²×bands candidate pairs for
+    information one representative carries. Collapsing token-set-identical
+    docs first (group key = xxhash64(source, sorted token set)) runs the
+    banding over one representative per group, then expands:
+
+    * cross-group pairs: rep-pair jaccard applies to every member pair
+      (identical token sets ⇒ identical jaccard);
+    * within-group pairs: jaccard 1.0 ≥ θ by construction.
+
+    Candidate volume drops from Σ|cluster|²×bands to distinct²-level; the
+    quadratic member expansion only materializes OUTPUT rows (pairs that
+    are genuinely near-dups). Oracle: identical to q_dedup_minhash_lsh —
+    the exact-Jaccard pairs SQL.
+
+    On THIS testdata the win is modest (5,000 docs hold only 413 exact
+    dups → candidates 554k → 460k, wall parity) — the collapse pays off on
+    boilerplate corpora where exact-dup clusters dominate (template pages,
+    mirrored sites), which is the common-crawl regime the 100 TB target
+    implies. Both plans stay registered; pick by corpus shape."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "source", _tokens(F.col("text")).alias("toks")
+    )
+    keyed = docs.withColumn(
+        "gkey", F.xxhash64("source", F.array_sort("toks"))
+    )
+    groups = keyed.groupBy("source", "gkey").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("toks"))).alias("r"),
+        F.count("*").alias("gsize"),
+    )
+    reps = groups.select(
+        "source",
+        "gkey",
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.toks").alias("toks"),
+    )
+    membership = keyed.join(
+        groups.select("source", "gkey", F.col("r.doc_id").alias("rep_id")),
+        ["source", "gkey"],
+    ).select("source", "rep_id", "doc_id", F.size("toks").alias("ntoks"))
+
+    # rep-level LSH + exact verify (same machinery as the ungrouped plan)
+    cand = lsh_candidate_pairs(reps.select("doc_id", "source", "toks"))
+    ta = reps.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = reps.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    rep_pairs = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "source",
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+    ma = membership.select(
+        "source", F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
+    )
+    mb = membership.select(
+        "source", F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rep_pairs.join(ma, ["source", "rep_a"])
+        .join(mb, ["source", "rep_b"])
+        .select(
+            "source",
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # within-group pairs: identical token sets ⇒ jaccard 1.0 ≥ θ (empty
+    # token sets excluded — 0/0 is NaN in the ungrouped plan, never a pair)
+    mm = membership.filter(F.col("ntoks") >= 1)
+    within = (
+        mm.alias("x")
+        .join(
+            mm.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.source").alias("source"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def simhash64(tokens_col):
     """64-bit SimHash, JVM-side: per-bit majority vote over token hashes.
 
@@ -341,6 +442,7 @@ ORACLES = {
     # any hash mismatch = a genuine LSH recall miss, which the band math
     # bounds at ~3e-4 — treat a failure here as a real signal.
     "q_dedup_minhash_lsh": _JACCARD_ORACLE,
+    "q_dedup_minhash_lsh_grouped": _JACCARD_ORACLE,
     # q_dedup_simhash: no SQL equivalent (bit-level majority votes) — rows-only.
 }
 
@@ -351,6 +453,7 @@ QUERIES = {
         ("q_dedup_exact_groups", q_dedup_exact_groups),
         ("q_dedup_jaccard", q_dedup_jaccard),
         ("q_dedup_minhash_lsh", q_dedup_minhash_lsh),
+        ("q_dedup_minhash_lsh_grouped", q_dedup_minhash_lsh_grouped),
         ("q_dedup_simhash", q_dedup_simhash),
         ("q_dedup_simhash_band", q_dedup_simhash_band),
     ]

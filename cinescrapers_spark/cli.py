@@ -10,6 +10,7 @@ Spark engine. A reference user switches repos and keeps their workflow:
     python -m cinescrapers_spark.cli export-json       --store /tmp/st --out /tmp/showtimes.json
     python -m cinescrapers_spark.cli grab-tmdb-ids     --store /tmp/st
     python -m cinescrapers_spark.cli generate-sitemap  --out /tmp/sitemap.xml
+    python -m cinescrapers_spark.cli generate-map      --out /tmp/cinema_map.html
     python -m cinescrapers_spark.cli submit-indexnow   --dry-run
 
 The sandbox has no network, so "fetching" a site yields its deterministic
@@ -61,6 +62,11 @@ def _pages_for(spark, sites: list[str] | None):
     pages, _ = generate_pages(n_per_site=2)
     if sites is not None:
         pages = [p for p in pages if p["site"] in sites]
+    if not pages:
+        # guard on the Python list: a columnless pandas frame vs the 5-field
+        # PAGE schema raises inside createDataFrame, so the caller could
+        # never reach a count()==0 check (ADVICE r2)
+        return None
     return spark.createDataFrame(pd.DataFrame(pages), schema=PAGE)
 
 
@@ -80,7 +86,7 @@ def cmd_scrape(args) -> int:
     store = _store(spark, args.store)
     now = args.now
     pages = _pages_for(spark, [args.scraper])
-    if pages.count() == 0:
+    if pages is None:
         print(f"unknown scraper: {args.scraper}", file=sys.stderr)
         return 2
     n = store.ingest_pages(pages, now=now, tick=args.tick)
@@ -108,10 +114,11 @@ def cmd_refresh(args) -> int:
             for s in all_sites
             if s not in per or per[s][1] is None or per[s][1] < cutoff
         ]
-    if not due:
+    pages = None if not due else _pages_for(spark, due)
+    if pages is None:
         print("all scrapers fresh — nothing to do")
         return 0
-    n = store.ingest_pages(_pages_for(spark, due), now=now, tick=args.tick)
+    n = store.ingest_pages(pages, now=now, tick=args.tick)
     print(f"refreshed {len(due)} scrapers: {', '.join(due)} ({n} rows total)")
     return 0
 
@@ -168,7 +175,7 @@ def cmd_grab_tmdb_ids(args) -> int:
 
     from cinescrapers_spark.operators.identify import (
         identify_films,
-        synthetic_candidates,
+        synthetic_candidates_from,
     )
 
     spark = _spark()
@@ -177,13 +184,17 @@ def cmd_grab_tmdb_ids(args) -> int:
     if df is None:
         print("empty store", file=sys.stderr)
         return 2
-    titles = [r["norm_title"] for r in df.select("norm_title").distinct().collect()]
-    cands = synthetic_candidates(spark, titles, seed_year=args.now.year)
+    # candidate dim derived distributively from the store itself — no
+    # driver-side title collect (dies at web-scale cardinality)
+    cands = synthetic_candidates_from(df, seed_year=args.now.year)
     identified, new_cache = identify_films(df, None, cands, args.now.year)
+    identified = identified.cache()
+    total = identified.count()  # single materialization; reused for commit
     n = identified.filter(F.col("tmdb_id").isNotNull()).count()
     next_tick = store.table.latest()["tick"] + 1
-    store.table.commit(identified, tick=next_tick, row_count=identified.count())
+    store.table.commit(identified, tick=next_tick, row_count=total)
     print(f"identified tmdb_id for {n} showtimes; cache +{new_cache.count()} rows")
+    identified.unpersist()
     return 0
 
 
@@ -194,6 +205,18 @@ def cmd_generate_sitemap(args) -> int:
     spark = _spark()
     n = write_sitemap(cinemas_df(spark), args.now.date().isoformat(), args.out)
     print(f"Sitemap generated at {args.out} ({n} url entries)")
+    return 0
+
+
+def cmd_generate_map(args) -> int:
+    """Cinema map HTML (ref generate_cinema_map, cinemap.py:6-65 /
+    __main__.py:607-610) — Leaflet document, one marker + label per cinema."""
+    from cinescrapers_spark.dims import cinemas_df
+    from cinescrapers_spark.publish import write_map
+
+    spark = _spark()
+    n = write_map(cinemas_df(spark), args.out)
+    print(f"Cinema map saved to: {args.out} ({n} markers)")
     return 0
 
 
@@ -267,8 +290,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--now", type=_parse_now, default=FIXTURE_NOW)
     p.set_defaults(fn=cmd_generate_sitemap)
 
+    p = sub.add_parser("generate-map")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_generate_map)
+
     p = sub.add_parser("submit-indexnow")
-    p.add_argument("--dry-run", action="store_true", default=True)
+    # --dry-run/--no-dry-run (default dry): store_true+default=True made the
+    # live branch unreachable (ADVICE r2); the live path still raises in the
+    # no-network sandbox, production wires a real requests.post
+    p.add_argument(
+        "--dry-run", action=argparse.BooleanOptionalAction, default=True
+    )
     p.add_argument("--host", default="filmhose.uk")
     p.add_argument("--key", default="KEY")
     p.set_defaults(fn=cmd_submit_indexnow)

@@ -43,7 +43,12 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(mod.QUERIES)
-    return out
+    # Oracle-backed queries enumerate FIRST: the driver's CORRECTNESS gate
+    # samples the first 50 registry entries, so rows-only queries must not
+    # occupy slots an oracle-checkable query could use (VERDICT r2 #1).
+    ordered = {k: v for k, v in out.items() if v[1] is not None}
+    ordered.update({k: v for k, v in out.items() if v[1] is None})
+    return ordered
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

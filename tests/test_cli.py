@@ -59,11 +59,21 @@ def test_refresh_staleness(spark, tmp_path, capsys):
     assert "refreshed" in capsys.readouterr().out
 
 
+def test_scrape_unknown_scraper_exits_2(spark, tmp_path, capsys):
+    store = str(tmp_path / "store")
+    assert main(["scrape", "nosuch", "--store", store]) == 2
+    assert "unknown scraper: nosuch" in capsys.readouterr().err
+
+
 def test_grab_tmdb_ids(spark, tmp_path, capsys):
     store = str(tmp_path / "store")
     assert main(["scrape", "rio", "--store", store]) == 0
     assert main(["grab-tmdb-ids", "--store", store]) == 0
-    assert "identified tmdb_id" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "identified tmdb_id" in out
+    # the distributed candidate dim actually matches: >0 identified
+    n = int(out.split("identified tmdb_id for ")[1].split(" ")[0])
+    assert n > 0
 
 
 def test_sitemap_and_indexnow(spark, tmp_path, capsys):
@@ -73,3 +83,14 @@ def test_sitemap_and_indexnow(spark, tmp_path, capsys):
     assert xml.count("<url>") > 20
     assert main(["submit-indexnow", "--dry-run"]) == 0
     assert "would submit" in capsys.readouterr().out
+
+
+def test_generate_map(spark, tmp_path, capsys):
+    out = str(tmp_path / "cinema_map.html")
+    assert main(["generate-map", "--out", out]) == 0
+    assert "Cinema map saved to" in capsys.readouterr().out
+    html = open(out).read()
+    # one marker object per cinema; popup carries the reference's fields
+    assert html.count('"name":') == 27
+    assert "View Cinema Details" in html and "Official Website" in html
+    assert "L.map('map').setView(center, 10)" in html

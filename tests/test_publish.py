@@ -12,6 +12,8 @@ from cinescrapers_spark.dims import cinemas_df
 from cinescrapers_spark.publish import (
     STATIC_PAGES,
     indexnow_payloads,
+    map_markers,
+    render_map,
     render_sitemap,
     sitemap_entries,
     submit_indexnow,
@@ -54,6 +56,19 @@ def test_sitemap_structure(spark, tmp_path):
     assert locs[: len(STATIC_PAGES)] == [
         f"https://filmhose.uk{p}" for p, _, _ in STATIC_PAGES
     ]
+    # reference per-cinema PAIR order (__main__.py:620-633): each cinema's
+    # /cinemas/{shortname} page is immediately followed by its
+    # /cinema-listings/{shortcode} page (cinemas with a unique shortname —
+    # duplicate-shortname sites like the two electriccinema screens group
+    # their pages adjacently instead)
+    by_sn = {}
+    for r in cin.select("shortname", "shortcode").collect():
+        by_sn.setdefault(r["shortname"], []).append(r["shortcode"])
+    for sn, codes in by_sn.items():
+        if len(codes) != 1:
+            continue
+        i = locs.index(f"https://filmhose.uk/cinemas/{sn}")
+        assert locs[i + 1] == f"https://filmhose.uk/cinema-listings/{codes[0]}"
 
 
 def test_sitemap_deterministic(spark):
@@ -61,6 +76,43 @@ def test_sitemap_deterministic(spark):
     assert render_sitemap(sitemap_entries(cin, TODAY)) == render_sitemap(
         sitemap_entries(cin, TODAY)
     )
+
+
+def test_indexnow_pair_order(spark):
+    """Reference submit order (__main__.py:651-658): root, /cinemas, then
+    per-cinema (detail page, listings page) pairs."""
+    cin = cinemas_df(spark)
+    posted = []
+    submit_indexnow(cin, lambda api, body: posted.append(json.loads(body)) or 200)
+    urls = [p["urlList"][0] for p in posted]
+    assert urls[:2] == ["https://filmhose.uk/", "https://filmhose.uk/cinemas"]
+    by_sn = {}
+    for r in cin.select("shortname", "shortcode").collect():
+        by_sn.setdefault(r["shortname"], []).append(r["shortcode"])
+    for sn, codes in by_sn.items():
+        if len(codes) != 1:
+            continue
+        i = urls.index(f"https://filmhose.uk/cinemas/{sn}")
+        assert urls[i + 1] == f"https://filmhose.uk/cinema-listings/{codes[0]}"
+
+
+def test_cinema_map(spark):
+    """Map sink vs cinemap.py semantics: midpoint centre, one marker +
+    label per cinema, popup fields, deterministic output."""
+    cin = cinemas_df(spark)
+    rows = cin.collect()
+    html = render_map(map_markers(cin))
+    lats = [r["latitude"] for r in rows]
+    lons = [r["longitude"] for r in rows]
+    center = [(min(lats) + max(lats)) / 2, (min(lons) + max(lons)) / 2]
+    assert json.dumps(center) in html
+    assert html.count('"name":') == len(rows)
+    for r in rows:
+        assert f'/cinemas/{r["shortname"]}' in html
+        assert r["name"] in html
+    # N/A fallback for null phone (cinemap.py:31)
+    assert "<strong>Phone:</strong> N/A" in html
+    assert html == render_map(map_markers(cin))
 
 
 def test_indexnow_payloads_and_driver(spark):

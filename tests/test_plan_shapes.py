@@ -74,3 +74,32 @@ def test_no_unbroadcast_cartesian_anywhere(spark, sf_dir):
     for name, (fn, _oracle) in registry().items():
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name} compiles to a cartesian"
+
+
+def test_lsh_verify_joins_never_shuffle_corpus(spark, sf_dir):
+    """The LSH verify stage must join the doc_id-bucketed token-hash
+    scratch layout with NO exchange above the corpus-side scans — at
+    corpus sizes past the broadcast threshold the only shuffled rows are
+    the skinny candidates (VERDICT r2 #3). Asserted with broadcast off to
+    force the at-scale plan."""
+    from cinescrapers_spark.plans.dedup import q_dedup_minhash_lsh
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(q_dedup_minhash_lsh(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    scans = plan.count("Bucketed: true")
+    assert scans == 2, f"verify-stage scans not bucketed ({scans}/2)\n{plan}"
+    # no Exchange may feed off a docs_thash scan: in the formatted tree,
+    # every Exchange's child subtree must not be a bucketed table scan
+    for m in re.finditer(r"\(\d+\) Scan parquet spark_catalog\.default\.docs_thash", plan):
+        # find the tree line that references this scan id and check its parent
+        sid = re.search(r"\((\d+)\)", m.group(0)).group(1)
+        tree_line = next(
+            l for l in plan.splitlines()
+            if l.strip().endswith(f"({sid})") and "Scan parquet" in l
+        )
+        assert "Exchange" not in tree_line
+    assert "Exchange" in plan  # the candidate side still shuffles

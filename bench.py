@@ -147,17 +147,22 @@ def main() -> None:
     total = round(sum(queries.values()), 3)
     spark.stop()
 
-    # one N/4N round normally; if a round lands under the 0.8 gate, retry
+    # at least TWO N/4N rounds, a third when either misses the 0.8 gate
     # (the hypervisor's spare cycles drift — BASELINE.md §C). Each round
     # co-measures the host's RAW capacity ratio at the same widths with a
     # spin loop, so every Spark ratio carries the machine ratio it was
     # achieved under; normalized = spark/host isolates the engine. ALL
-    # rounds are recorded; the best raw round is the capability number.
+    # rounds are recorded; the headline is the MEDIAN round (for two
+    # rounds, the conservative LOWER of the two) — never best-of-N
+    # (VERDICT r2 #2: a headline only the luckiest round clears is
+    # fragile evidence).
     crawl_rounds = []
+    last_b = {}
     for attempt in range(3):
         capN, cap4N, cap_eff = host_capacity_ratio()
         bN = run_crawl_bench(BENCH_N)
         b4N = run_crawl_bench(BENCH_4N)
+        last_b = {"bN": bN, "b4N": b4N}
         thrN = bN["throughput_urls_per_sec"]
         thr4N = b4N["throughput_urls_per_sec"]
         eff = round((thr4N / thrN) / 4.0, 3)
@@ -169,22 +174,21 @@ def main() -> None:
                 "host_capacity_mops": [capN, cap4N],
                 "host_capacity_efficiency": cap_eff,
                 "normalized_efficiency": round(min(eff / cap_eff, 1.5), 3),
+                "wall_at_N": bN["total_wall_sec"],
+                "wall_at_4N": b4N["total_wall_sec"],
             }
         )
-        if eff >= 0.8:
+        if attempt >= 1 and all(r["efficiency"] >= 0.8 for r in crawl_rounds):
             break
-        # a 3rd attempt is only worth its wall-clock when the miss is
-        # explained by the MACHINE (its own spin-loop scaling was degraded
-        # at measurement time); if the host was healthy and we still
-        # missed, retrying measures the same engine again
-        if attempt == 1 and cap_eff >= 0.9:
-            break
-    best = max(crawl_rounds, key=lambda r: r["efficiency"])
+    by_eff = sorted(crawl_rounds, key=lambda r: r["efficiency"])
+    # median round: middle of 3, LOWER of 2 (conservative)
+    median = by_eff[(len(by_eff) - 1) // 2]
     thrN, thr4N, efficiency = (
-        best["throughput_at_N"],
-        best["throughput_at_4N"],
-        best["efficiency"],
+        median["throughput_at_N"],
+        median["throughput_at_4N"],
+        median["efficiency"],
     )
+    bN, b4N = last_b["bN"], last_b["b4N"]
     # the host's shared-hypervisor CPUs drift ±20% across minutes
     # (BASELINE.md §C), so the parse pair is measured INTERLEAVED 3×:
     # median of per-round ratios cancels the drift a sequential pair
@@ -219,15 +223,17 @@ def main() -> None:
                     "cores_4N": BENCH_4N,
                     "throughput_at_N": thrN,
                     "throughput_at_4N": thr4N,
+                    # MEDIAN recorded round (lower of two) — never best-of-N
                     "scaling_efficiency_N_to_4N": efficiency,
+                    "headline_rule": "median_round",
                     # efficiency / the host's own raw CPU scaling ratio at
                     # measurement time (spin-loop co-measurement): isolates
                     # the ENGINE's scaling from shared-hypervisor drift
-                    "normalized_efficiency": best["normalized_efficiency"],
-                    "host_capacity_efficiency": best["host_capacity_efficiency"],
+                    "normalized_efficiency": median["normalized_efficiency"],
+                    "host_capacity_efficiency": median["host_capacity_efficiency"],
                     "rounds": crawl_rounds,
-                    "wall_at_N": bN["total_wall_sec"],
-                    "wall_at_4N": b4N["total_wall_sec"],
+                    "wall_at_N": median["wall_at_N"],
+                    "wall_at_4N": median["wall_at_4N"],
                 },
                 # the engine's data-parallel path in isolation (fetch+parse+
                 # expand kernel): governs cluster-scale throughput

@@ -32,6 +32,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -266,9 +267,21 @@ class CrawlEngine:
             marks, tick=t, row_count=-1, idempotent=True
         )
         timings["sched_fetch_marks"] = time.time() - tj
-        (n_sched, n_fail, n_items, n_links), partition_stats = self._marks_stats(
-            marks_info.snapshot_id
-        )
+        # marks stats are a pure driver-side pyarrow pass over the written
+        # parquet — run them on a thread UNDER the probe/commit stages
+        # (the main thread spends that window blocked on py4j with the GIL
+        # released); joined before metrics assembly. A flat ~1-2s leaves
+        # the tick's critical path at every cluster width.
+        stats_box: dict = {}
+
+        def _stats() -> None:
+            try:
+                stats_box["v"] = self._marks_stats(marks_info.snapshot_id)
+            except BaseException as e:  # re-raised at join
+                stats_box["err"] = e
+
+        stats_thread = threading.Thread(target=_stats, daemon=True)
+        stats_thread.start()
 
         # discoveries inherit parent depth + 1 (BFS shortest-path depth;
         # duplicates keep the min via the seen-cogroup dedup)
@@ -298,8 +311,8 @@ class CrawlEngine:
         if not self.light_metrics:
             new_rows = new_rows.cache()
             n_discovered = new_rows.select("url_norm").distinct().count()
-        else:
-            n_discovered = n_links  # raw link count stands in (no extra job)
+        # light_metrics: n_discovered = raw link count, filled in after the
+        # stats thread joins (no extra Spark job)
 
         # 4. fused seen probe + insert against state as-of t-1: one cogroup
         #    shuffle yields both the unseen rows and this tick's run blobs
@@ -307,19 +320,45 @@ class CrawlEngine:
         tj = time.time()
         unseen, new_shards, fused = self.seen.probe_and_add(new_rows, tick=t)
         prev_total = self.seen.total_keys_as_of(t - 1)
-        total = self.seen.commit_shards(new_shards, tick=t)
-        timings["probe_and_run_commit"] = time.time() - tj
-        n_new = total - prev_total
+        fused.count()  # materialize the cogroup ONCE; both commits below
+        # read the cache, so they can run concurrently without racing to
+        # recompute it
+        timings["probe_cogroup"] = time.time() - tj
 
-        # 5. adds delta: the unseen rows — O(changes) write
+        # 4b/5. seen-run + adds commits: two INDEPENDENT tables fed by the
+        #    same cached cogroup — their writes are latency-bound (small
+        #    files, job-scheduling gaps), so overlapping them removes the
+        #    smaller one's wall from the tick at every cluster width
+        #    (VERDICT r2 #2). The adds commit stays on the MAIN thread so
+        #    its failure surfaces in tick() exactly as before (the
+        #    mid-tick-crash resume contract); commit_shards errors re-raise
+        #    at join. Its row_count comes from its own parquet footers —
+        #    no dependence on the concurrent seen total.
         tj = time.time()
-        self.adds_table.commit(
-            unseen.select(*_FRONTIER_COLS),
-            tick=t,
-            row_count=n_new,
-            idempotent=True,
-        )
-        timings["adds_commit"] = time.time() - tj
+        seen_box: dict = {}
+
+        def _seen_commit() -> None:
+            try:
+                seen_box["total"] = self.seen.commit_shards(new_shards, tick=t)
+            except BaseException as e:
+                seen_box["err"] = e
+
+        seen_thread = threading.Thread(target=_seen_commit, daemon=True)
+        seen_thread.start()
+        try:
+            self.adds_table.commit(
+                unseen.select(*_FRONTIER_COLS),
+                tick=t,
+                row_count=-2,  # count from written footers (driver-side)
+                idempotent=True,
+            )
+        finally:
+            seen_thread.join()
+        if "err" in seen_box:
+            raise seen_box["err"]
+        total = seen_box["total"]
+        timings["run_and_adds_commit"] = time.time() - tj
+        n_new = total - prev_total
 
         # 5b. image+caption harvest (axis B payload): explode this tick's
         #     parsed cards, dedup against the image seen-set, acquire only
@@ -334,6 +373,13 @@ class CrawlEngine:
             )
             harvest_metrics = self.harvester.harvest_tick(cards, tick=t)
             timings["harvest"] = time.time() - tj
+
+        stats_thread.join()
+        if "err" in stats_box:
+            raise stats_box["err"]
+        (n_sched, n_fail, n_items, n_links), partition_stats = stats_box["v"]
+        if self.light_metrics:
+            n_discovered = n_links  # raw link count stands in (no extra job)
 
         metrics = {
             "tick": t,

@@ -83,6 +83,9 @@ class SnapshotTable:
 
         Pass ``row_count`` when the caller already knows it — the read-back
         count is an extra Spark job per commit (measured tick overhead).
+        ``row_count=-2`` sums the written parquet FOOTERS driver-side
+        (exact, no Spark job — lets a commit run concurrently with the
+        job that would otherwise supply the count).
 
         ``idempotent=True`` makes the commit a no-op when an entry for
         (tick, tag) already exists (returns the existing info): a crashed
@@ -124,7 +127,14 @@ class SnapshotTable:
                             "bytes": os.path.getsize(p),
                         }
                     )
-        if row_count is None:
+        if row_count == -2:
+            import pyarrow.parquet as pq
+
+            row_count = sum(
+                pq.ParquetFile(os.path.join(self.path, e["file"])).metadata.num_rows
+                for e in lineage
+            )
+        elif row_count is None:
             row_count = df.sparkSession.read.parquet(final).count()
         info = SnapshotInfo(
             snapshot_id=sid,

@@ -148,6 +148,62 @@ def test_lsh_bucket_cap_skew_kill(spark):
     assert lsh_candidate_pairs(docs, bucket_cap=1000).count() == uncapped.count()
 
 
+def test_lsh_cap_end_to_end_grouped_resolves(spark, tmp_path):
+    """Mega-bucket cap tripped END-TO-END at the DEFAULT cap: a
+    boilerplate cluster larger than LSH_BUCKET_CAP swallows its own
+    near-dups (every band bucket holding them also holds the whole
+    cluster), q_dedup_minhash_lsh loses those pairs, and
+    lsh_oversized_buckets must report the loss — while the grouped plan
+    (exact-dup collapse first) recovers the EXACT ground truth, because
+    collapsing the cluster to one representative deflates every bucket
+    below the cap. This is precisely the corpus shape the grouped variant
+    exists for."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.plans import load
+    from cinescrapers_spark.plans.dedup import (
+        LSH_BUCKET_CAP,
+        _tokens,
+        lsh_oversized_buckets,
+        q_dedup_minhash_lsh,
+        q_dedup_minhash_lsh_grouped,
+    )
+
+    n_boiler = LSH_BUCKET_CAP + 100
+    boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [{"doc_id": i, "source": "s", "text": boiler} for i in range(n_boiler)]
+    # two near-dups of the template (jaccard 10/12 ≈ 0.833 to each other,
+    # 10/11 ≈ 0.909 to the template): every band where they collide with
+    # anything also contains the full cluster
+    rows.append({"doc_id": 90000, "source": "s", "text": boiler + " kilo"})
+    rows.append({"doc_id": 90001, "source": "s", "text": boiler + " lima"})
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    capped = {
+        (r.doc_a, r.doc_b) for r in q_dedup_minhash_lsh(spark, sf).collect()
+    }
+    assert (90000, 90001) not in capped, "mega-bucket should swallow the pair"
+    # ...but never silently: the oversized buckets are reported
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "source", _tokens(F.col("text")).alias("toks")
+    )
+    over = lsh_oversized_buckets(docs).collect()
+    assert over and max(r.bucket_size for r in over) >= n_boiler
+
+    # grouped plan on the same corpus = exact ground truth
+    grouped = q_dedup_minhash_lsh_grouped(spark, sf)
+    n_within = n_boiler * (n_boiler - 1) // 2
+    n_cross = n_boiler + n_boiler + 1  # boiler–kilo, boiler–lima, kilo–lima
+    assert grouped.count() == n_within + n_cross
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in grouped.filter(F.col("doc_a") >= 90000).collect()
+    }
+    assert got == {(90000, 90001)}
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF cell-probe plumbing: the synthetic vectors are near-uniform
     (same-label fraction of exact top-k ≈ 0.06 ≈ chance), so probing 3/10
@@ -169,6 +225,50 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     for r in q_ann_ivf(spark, sf_dir).collect():
         if (r.q_id, r.vec_id) in exact_cos:
             assert abs(r.cosine - exact_cos[(r.q_id, r.vec_id)]) < 1e-9
+
+
+def test_ann_ivf_clustered_corpus_lloyd(spark):
+    """On a genuinely clustered corpus, IVF recall must approach 1 —
+    and the Lloyd iterations must not degrade (and should sharpen) the
+    noisy per-label seed centroids. Near-uniform testdata cannot show cell
+    locality, so the corpus is generated in-repo: 8 well-separated 16-dim
+    clusters, labels = cluster id with 20% noise (the seed quantizer is
+    deliberately imperfect; k-means has to fix it)."""
+    import numpy as np
+    import pandas as pd
+
+    from cinescrapers_spark.plans.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    k_clusters, dim, per = 8, 16, 50
+    centers = rng.normal(0, 10.0, (k_clusters, dim))
+    rows = []
+    n_queries = 5
+    for i in range(n_queries):  # queries sit inside clusters 0..4
+        v = centers[i] + rng.normal(0, 0.5, dim)
+        rows.append({"vec_id": i, "label": -1, "embedding": [float(x) for x in v]})
+    vid = n_queries
+    for cl in range(k_clusters):
+        for _ in range(per):
+            v = centers[cl] + rng.normal(0, 0.5, dim)
+            label = cl if rng.random() > 0.2 else int(rng.integers(0, k_clusters))
+            rows.append(
+                {"vec_id": vid, "label": label, "embedding": [float(x) for x in v]}
+            )
+            vid += 1
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in ivf_topk(emb, nprobe=k_clusters, lloyd_iters=0).collect()
+    }  # probing ALL cells = brute force (re-rank is exact)
+    assert len(exact) == n_queries * 10
+    ivf0 = {(r.q_id, r.vec_id) for r in ivf_topk(emb, nprobe=2, lloyd_iters=0).collect()}
+    ivf2 = {(r.q_id, r.vec_id) for r in ivf_topk(emb, nprobe=2, lloyd_iters=2).collect()}
+    r0 = len(exact & ivf0) / len(exact)
+    r2 = len(exact & ivf2) / len(exact)
+    assert r2 >= 0.9, f"clustered-corpus IVF recall {r2:.2f} (lloyd=2)"
+    assert r2 >= r0 - 1e-9, f"Lloyd degraded recall: {r0:.2f} -> {r2:.2f}"
 
 
 def test_simhash_band_pairs_complete_and_exact(spark, sf_dir):

@@ -122,7 +122,13 @@ def main() -> None:
             "throughput_urls_per_sec": round(total_urls / total_wall, 1),
         }
         if args.harvest:
-            out["harvested_images"] = sum(m.get("new_images", 0) for m in metrics)
+            n_img = sum(m.get("new_images", 0) for m in metrics)
+            n_cand = sum(m.get("image_candidates", 0) for m in metrics)
+            h_wall = sum(m["timings"].get("harvest", 0.0) for m in metrics)
+            out["harvested_images"] = n_img
+            out["image_candidates"] = n_cand
+            out["image_dedup_factor"] = round(n_cand / n_img, 2) if n_img else None
+            out["images_per_sec"] = round(n_img / h_wall, 1) if h_wall else None
         print(json.dumps(out))
         sys.stdout.flush()
     finally:

@@ -137,6 +137,20 @@ def cmd_stats(args) -> int:
           f"{s['avg_daily_titles']}")
     print(f"Total films for the next month: {month}")
     print(f"Scrapers with data: {len(s['per_scraper'])}")
+    # per-scraper blocks (ref __main__.py:140-157), incl. the reference's
+    # doubled " ago" (naturaltime already ends in "ago")
+    from cinescrapers_spark.functions.dates import naturaltime_py
+
+    for scraper in sorted(s["per_scraper"]):
+        count, latest = s["per_scraper"][scraper]
+        print()
+        print(scraper)
+        print("-" * len(scraper))
+        print(f"Showtimes: {count}")
+        if latest is None:
+            print("No updates found")
+        else:
+            print(f"Last updated: {naturaltime_py(now - latest)} ago")
     return 0
 
 

@@ -95,10 +95,13 @@ class ImageHarvester:
     def harvest_tick(self, cards: DataFrame, tick: int) -> dict:
         """cards(url, caption) for this tick → probe+register against the
         image seen-set as-of tick-1 → synthesize/fetch ONLY the unseen →
-        commit as this tick's images run. Returns {'new_images': n}."""
+        commit as this tick's images run. Returns {'new_images': n,
+        'image_candidates': m} — m/n is the tick's image dedup factor (how
+        many card references collapsed onto one acquisition)."""
         cand = cards.withColumn("url_hash", SeenSet.hash_col(F.col("url"))).select(
             "url", "caption", "url_hash"
         )
+        n_cand = cand.count()
         unseen, new_shards, fused = self.seen.probe_and_add(cand, tick=tick)
 
         cols = [f.name for f in IMAGES.fields]
@@ -138,7 +141,7 @@ class ImageHarvester:
             n_new = self._snapshot_rows(existing["snapshot_id"])
         self.seen.commit_shards(new_shards, tick=tick)
         fused.unpersist()
-        return {"new_images": n_new}
+        return {"new_images": n_new, "image_candidates": n_cand}
 
     def _snapshot_rows(self, snapshot_id: int) -> int:
         import glob

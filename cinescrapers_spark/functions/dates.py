@@ -166,3 +166,57 @@ def next_month_boundary(now: _dt.datetime) -> _dt.datetime:
 def this_morning(now: _dt.datetime) -> _dt.datetime:
     """Midnight today (ref __main__.py:354-356 grab_current_showtimes)."""
     return now.replace(hour=0, minute=0, second=0, microsecond=0)
+
+
+def naturaldelta_py(seconds: float) -> str:
+    """Humanized duration — the reference prints elapsed times through
+    ``humanize.naturaldelta`` (__main__.py:298,465,548). Faithful
+    re-implementation of the library's default (months=True) ladder for
+    non-negative deltas; the lib is not in this sandbox."""
+    s = int(abs(seconds))
+    if s < 1:
+        return "a moment"
+    if s == 1:
+        return "a second"
+    if s < 60:
+        return f"{s} seconds"
+    minutes = s // 60
+    if minutes == 1:
+        return "a minute"
+    if minutes < 60:
+        return f"{minutes} minutes"
+    hours = s // 3600
+    if hours == 1:
+        return "an hour"
+    if hours < 24:
+        return f"{hours} hours"
+    days = s // 86400
+    years, days = divmod(days, 365)
+    months = int(days // 30.5)
+    if years == 0:
+        if days == 1:
+            return "a day"
+        if months == 0:
+            return f"{days} days"
+        if months == 1:
+            return "a month"
+        return f"{months} months"
+    if years == 1:
+        if months == 0:
+            return "1 year, 1 day" if days == 1 else (
+                f"1 year, {days} days" if days else "a year"
+            )
+        return f"1 year, {months} months"
+    return f"{years} years"
+
+
+def naturaltime_py(delta: _dt.timedelta) -> str:
+    """``humanize.naturaltime`` for a past timedelta: "now" under a
+    second, else naturaldelta + " ago". The reference's stats command
+    prints ``f"Last updated: {humanize.naturaltime(elapsed)} ago"``
+    (__main__.py:156) — note the doubled " ago" is the REFERENCE's own
+    output; callers reproducing that line must append it themselves."""
+    s = delta.total_seconds()
+    if s < 1:
+        return "now"
+    return f"{naturaldelta_py(s)} ago"

@@ -43,10 +43,25 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(mod.QUERIES)
-    # Oracle-backed queries enumerate FIRST: the driver's CORRECTNESS gate
-    # samples the first 50 registry entries, so rows-only queries must not
-    # occupy slots an oracle-checkable query could use (VERDICT r2 #1).
-    ordered = {k: v for k, v in out.items() if v[1] is not None}
+    # Enumeration order is evidence policy (VERDICT r2 #1): the driver's
+    # CORRECTNESS gate samples the FIRST 50 registry entries, so
+    #   1. oracle-backed queries the driver has never sampled (rounds 1-2
+    #      added them past the window) enumerate first,
+    #   2. then the remaining oracle-backed queries in module order — the
+    #      last 7 of these rotate OUT of the window; each has two rounds of
+    #      driver-green history plus pytest gates (see COVERAGE.md),
+    #   3. rows-only queries last (they'd burn slots an oracle-checkable
+    #      query can use; their exactness lives in pytest).
+    never_sampled = [
+        "q_cache_keys", "q_exists_subquery", "q_above_avg_orders",
+        "q_rollup_revenue", "q_sessionize", "q_percentiles",
+        "q_levenshtein_match", "q_upsert_latest", "q_dedup_ngram",
+        "q_dedup_embed_cosine", "q_token_count_bpe",
+        # sampled only once (fell out of the round-2 window):
+        "q_dedup_minhash_lsh_grouped", "q_postcode_extract",
+    ]
+    ordered = {k: out[k] for k in never_sampled if k in out and out[k][1] is not None}
+    ordered.update({k: v for k, v in out.items() if v[1] is not None and k not in ordered})
     ordered.update({k: v for k, v in out.items() if v[1] is None})
     return ordered
 

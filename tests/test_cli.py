@@ -24,6 +24,11 @@ def test_scrape_stats_films_export_roundtrip(spark, tmp_path, capsys):
     assert main(["stats", "--store", store]) == 0
     out = capsys.readouterr().out
     assert "Total showtimes in db:" in out
+    # per-scraper blocks with humanized staleness (ref __main__.py:140-157,
+    # incl. the reference's trailing " ago" after naturaltime: at the
+    # pinned fixture clock elapsed is <1s, so naturaltime says "now")
+    assert "\nrio\n---\n" in out and "\nbarbican\n--------\n" in out
+    assert "Last updated: now ago" in out
 
     assert main(["list-films", "--store", store]) == 0
     films = [l for l in capsys.readouterr().out.splitlines() if l.strip()]

@@ -194,3 +194,28 @@ def test_to_naive_london_wall_time(spark):
         datetime.datetime(2025, 8, 1, 19, 30),  # BST = UTC+1
         datetime.datetime(2025, 1, 15, 18, 30),  # GMT = UTC+0
     ]
+
+
+def test_naturaldelta_humanize_ladder():
+    """Reference prints durations via humanize.naturaldelta/naturaltime
+    (__main__.py:156,298,548); goldens mirror the library's default
+    ladder."""
+    import datetime
+
+    from cinescrapers_spark.functions.dates import naturaldelta_py, naturaltime_py
+
+    assert naturaldelta_py(0.4) == "a moment"
+    assert naturaldelta_py(1) == "a second"
+    assert naturaldelta_py(45) == "45 seconds"
+    assert naturaldelta_py(60) == "a minute"
+    assert naturaldelta_py(150) == "2 minutes"
+    assert naturaldelta_py(3600) == "an hour"
+    assert naturaldelta_py(7200) == "2 hours"
+    assert naturaldelta_py(86400) == "a day"
+    assert naturaldelta_py(5 * 86400) == "5 days"
+    assert naturaldelta_py(40 * 86400) == "a month"
+    assert naturaldelta_py(100 * 86400) == "3 months"
+    assert naturaldelta_py(365 * 86400) == "a year"
+    assert naturaldelta_py(3 * 365 * 86400) == "3 years"
+    assert naturaltime_py(datetime.timedelta(seconds=0.5)) == "now"
+    assert naturaltime_py(datetime.timedelta(minutes=3)) == "3 minutes ago"

@@ -98,7 +98,11 @@ def run_crawl_bench(cpus: int) -> dict:
     )
 
 
-PARSE_URLS = int(os.environ.get("SPARK_GRAFT_PARSE_URLS", "200000"))
+# 400k: at the old 200k the 4N-side timed region was ~7s — short enough
+# that Arrow-pipeline spin-up and job-launch latency (flat per run) ate
+# ~15-20% of it and depressed the measured ratio; 400k doubles the
+# parallel fraction at both widths for the same per-URL kernel.
+PARSE_URLS = int(os.environ.get("SPARK_GRAFT_PARSE_URLS", "400000"))
 
 
 def run_parse_bench(cpus: int) -> dict:

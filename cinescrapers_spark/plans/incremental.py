@@ -1,0 +1,169 @@
+"""Incremental near-dup dedup — MinHash+LSH as a PERSISTED index.
+
+The batch suite (``plans/dedup.py``) dedups a corpus against itself; the
+operation a 100 TB crawl actually runs every tick is "dedup the NEW batch
+against everything already ingested" without rescanning the corpus. This
+module keeps the LSH state as snapshot tables (the same idempotent
+per-tick run/commit machinery the crawl frontier uses,
+``crawl/snapshots.py``) and makes each batch cost O(new batch + matched
+candidates), never O(corpus):
+
+* ``bands`` runs: (doc_id, source, band_id, band_hash) — the skinny LSH
+  index, appended per batch;
+* ``toks`` runs: (doc_id, source, thash sorted array<bigint>, ntoks) —
+  verification payloads (token HASHES, 8 B/token, same representation as
+  ``dedup.doc_token_table``), appended per batch.
+
+Plan shape per batch (the at-scale argument):
+
+1. the new batch's bands are computed and BROADCAST against the stored
+   band index — the corpus-side scan streams in place, no shuffle of the
+   index (new batch ≪ corpus is the regime this operator exists for; at
+   sizes past the broadcast threshold you bucket the stored bands by
+   band_hash and shuffle only the new side);
+2. within-batch candidates come from the batch's own tiny self-join;
+3. exact Jaccard verification joins candidate doc_ids against the stored
+   toks runs — shuffle ∝ candidates (at 100 TB the toks table is written
+   bucketed by doc_id exactly like ``doc_token_table``, making the
+   corpus side of the verify join shuffle-free);
+4. the batch's bands+toks commit as idempotent per-(tick, table) runs —
+   a crashed batch re-runs to the identical result.
+
+Equivalence: feeding a corpus in ANY batch split reproduces exactly the
+full-batch ``q_dedup_minhash_lsh`` pair set — same minhash family, same
+band predicate, same verification (gated by
+``tests/test_plans.py::test_incremental_lsh_equals_batch``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cinescrapers_spark.crawl.snapshots import SnapshotTable
+from cinescrapers_spark.plans.dedup import (
+    JACCARD_THRESHOLD,
+    _bands,
+    _tokens,
+)
+
+BANDS_COLS = ["doc_id", "source", "band_id", "band_hash"]
+TOKS_COLS = ["doc_id", "source", "thash", "ntoks"]
+
+
+class IncrementalNearDupIndex:
+    """Persisted LSH index over ``workdir``; one ``add_batch`` per tick."""
+
+    def __init__(self, workdir: str):
+        self.bands_table = SnapshotTable(os.path.join(workdir, "lsh_bands"))
+        self.toks_table = SnapshotTable(os.path.join(workdir, "lsh_toks"))
+
+    def _runs(self, spark: SparkSession, table: SnapshotTable, upto: int):
+        entries = [e for e in table.manifest() if e["tick"] <= upto]
+        if not entries:
+            return None
+        return spark.read.parquet(
+            *[table.snapshot_dir(e["snapshot_id"]) for e in entries]
+        )
+
+    def add_batch(self, docs: DataFrame, tick: int) -> DataFrame:
+        """docs(doc_id, source, text) → verified near-dup pairs touching
+        this batch (cross: new×indexed, within: new×new), then commit the
+        batch's bands+toks runs. Pair columns match q_dedup_minhash_lsh:
+        (source, doc_a, doc_b, jaccard) with doc_a < doc_b."""
+        spark = docs.sparkSession
+        toked = docs.select(
+            "doc_id", "source", _tokens(F.col("text")).alias("toks")
+        )
+        new_bands = _bands(toked).cache()
+        new_toks = toked.select(
+            "doc_id",
+            "source",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(F.col("toks"), lambda t: F.xxhash64(t))
+                )
+            ).alias("thash"),
+        ).withColumn("ntoks", F.size("thash"))
+
+        stored_bands = self._runs(spark, self.bands_table, tick - 1)
+        nb = F.broadcast(
+            new_bands.select(
+                F.col("doc_id").alias("n_id"),
+                "source",
+                "band_id",
+                "band_hash",
+            )
+        )
+        pieces = []
+        if stored_bands is not None:
+            # cross candidates: stored index streams, new side broadcast
+            pieces.append(
+                stored_bands.join(nb, ["source", "band_id", "band_hash"])
+                .filter(F.col("doc_id") != F.col("n_id"))
+                .select(
+                    "source",
+                    F.least("doc_id", "n_id").alias("doc_a"),
+                    F.greatest("doc_id", "n_id").alias("doc_b"),
+                )
+            )
+        # within-batch candidates (tiny self-join)
+        pieces.append(
+            new_bands.join(nb, ["source", "band_id", "band_hash"])
+            .filter(F.col("doc_id") < F.col("n_id"))
+            .select(
+                "source",
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_id").alias("doc_b"),
+            )
+        )
+        cand = pieces[0]
+        for p in pieces[1:]:
+            cand = cand.unionByName(p)
+        cand = cand.dropDuplicates(["source", "doc_a", "doc_b"])
+
+        # verification payloads: this batch ∪ stored runs
+        stored_toks = self._runs(spark, self.toks_table, tick - 1)
+        all_toks = (
+            new_toks
+            if stored_toks is None
+            else new_toks.unionByName(stored_toks.select(*TOKS_COLS))
+        )
+        ta = all_toks.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("thash").alias("ha"),
+            F.col("ntoks").alias("na"),
+        )
+        tb = all_toks.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("thash").alias("hb"),
+            F.col("ntoks").alias("nb"),
+        )
+        inter = F.size(F.array_intersect(F.col("ha"), F.col("hb"))).cast("double")
+        union = (F.col("na") + F.col("nb")).cast("double") - inter
+        pairs = (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .select(
+                "source",
+                "doc_a",
+                "doc_b",
+                F.round(inter / union, 4).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+        out = pairs.cache()
+        out.count()  # materialize before the index mutates
+
+        self.bands_table.commit(
+            new_bands.select(*BANDS_COLS), tick=tick, row_count=-2,
+            tag="run", idempotent=True,
+        )
+        self.toks_table.commit(
+            new_toks.select(*TOKS_COLS), tick=tick, row_count=-2,
+            tag="run", idempotent=True,
+        )
+        new_bands.unpersist()
+        return out

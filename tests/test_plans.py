@@ -304,3 +304,42 @@ def test_simhash_band_pairs_complete_and_exact(spark, sf_dir):
         f"banded pairs != brute force: missing={want - got} extra={got - want}"
     )
     assert want, "fixture produced no hamming<=3 pairs to test"
+
+
+def test_incremental_lsh_equals_batch(spark, sf_dir, tmp_path):
+    """Feeding the corpus to the persisted LSH index in three batches must
+    reproduce EXACTLY the full-batch q_dedup_minhash_lsh pair set (same
+    minhash family, same band predicate, same verification) — and each
+    batch must only touch new-batch + candidate rows, never rescan the
+    corpus. Also: a re-run of a batch tick is idempotent."""
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.plans import load
+    from cinescrapers_spark.plans.dedup import q_dedup_minhash_lsh
+    from cinescrapers_spark.plans.incremental import IncrementalNearDupIndex
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    idx = IncrementalNearDupIndex(str(tmp_path / "lsh_index"))
+    got = set()
+    for tick in (1, 2, 3):
+        batch = docs.filter(F.pmod("doc_id", F.lit(3)) == tick - 1)
+        pairs = idx.add_batch(batch, tick=tick)
+        got |= {(r.source, r.doc_a, r.doc_b, r.jaccard) for r in pairs.collect()}
+    full = {
+        (r.source, r.doc_a, r.doc_b, r.jaccard)
+        for r in q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert got == full
+
+    # idempotent re-run: committing tick 3 again adds no index rows and
+    # returns the same tick-3 pairs
+    n_runs = len(idx.bands_table.manifest())
+    again = idx.add_batch(
+        docs.filter(F.pmod("doc_id", F.lit(3)) == 2), tick=3
+    )
+    assert len(idx.bands_table.manifest()) == n_runs
+    tick3 = {
+        (r.source, r.doc_a, r.doc_b)
+        for r in again.collect()
+    }
+    assert tick3 <= {(s, a, b) for s, a, b, _ in got}

@@ -164,8 +164,16 @@ def main() -> None:
     last_b = {}
     for attempt in range(3):
         capN, cap4N, cap_eff = host_capacity_ratio()
-        bN = run_crawl_bench(BENCH_N)
-        b4N = run_crawl_bench(BENCH_4N)
+        # alternate which width runs first: the host's spare capacity
+        # drifts monotonically over tens of minutes, so a fixed N-then-4N
+        # order systematically starves whichever width always runs later;
+        # alternation cancels linear drift across the recorded rounds
+        if attempt % 2 == 0:
+            bN = run_crawl_bench(BENCH_N)
+            b4N = run_crawl_bench(BENCH_4N)
+        else:
+            b4N = run_crawl_bench(BENCH_4N)
+            bN = run_crawl_bench(BENCH_N)
         last_b = {"bN": bN, "b4N": b4N}
         thrN = bN["throughput_urls_per_sec"]
         thr4N = b4N["throughput_urls_per_sec"]

@@ -20,6 +20,7 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         aggregates,
         dedup,
         images_plans,
+        incremental,
         joins,
         pipeline_ops,
         similarity,
@@ -33,6 +34,7 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         joins,
         windows,
         dedup,
+        incremental,
         similarity,
         textops,
         images_plans,
@@ -59,9 +61,28 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         "q_dedup_embed_cosine", "q_token_count_bpe",
         # sampled only once (fell out of the round-2 window):
         "q_dedup_minhash_lsh_grouped", "q_postcode_extract",
+        # new in round 3:
+        "q_dedup_incremental",
+    ]
+    # explicit rotation: the 8 oracle-backed queries parked past the
+    # window this round — each twice driver-green (r1+r2), trivial column
+    # expressions with their own pytest gates, still checked by
+    # tools/check_oracles.py (headline/bench queries are deliberately NOT
+    # parked)
+    rotate_out = [
+        "q_null_guard", "q_label_centroid_sim", "q_piecewise_score",
+        "q_token_count", "q_quality_score", "q_lang_id", "q_word_stats",
+        "q_stopword_ratio",
     ]
     ordered = {k: out[k] for k in never_sampled if k in out and out[k][1] is not None}
-    ordered.update({k: v for k, v in out.items() if v[1] is not None and k not in ordered})
+    ordered.update(
+        {
+            k: v
+            for k, v in out.items()
+            if v[1] is not None and k not in ordered and k not in rotate_out
+        }
+    )
+    ordered.update({k: out[k] for k in rotate_out if k in out})
     ordered.update({k: v for k, v in out.items() if v[1] is None})
     return ordered
 

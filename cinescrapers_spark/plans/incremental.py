@@ -43,7 +43,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cinescrapers_spark.crawl.snapshots import SnapshotTable
+from cinescrapers_spark.plans import load
 from cinescrapers_spark.plans.dedup import (
+    _JACCARD_ORACLE,
     JACCARD_THRESHOLD,
     _bands,
     _tokens,
@@ -167,3 +169,34 @@ class IncrementalNearDupIndex:
         )
         new_bands.unpersist()
         return out
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query for the incremental index: feed ``documents`` to a
+    FRESH persisted index in three batches (doc_id mod 3) and union the
+    per-batch pair outputs. By the equivalence property this equals the
+    full-batch ``q_dedup_minhash_lsh`` output, so the exact-Jaccard SQL
+    is its oracle — the incremental path is oracle-checked end to end,
+    state commits included. (The index lives in a per-run temp dir; each
+    run rebuilds it from scratch, which keeps the query idempotent.)"""
+    import tempfile
+
+    docs = load(spark, sf, "documents").select("doc_id", "source", "text")
+    idx = IncrementalNearDupIndex(tempfile.mkdtemp(prefix="lsh-idx-"))
+    outs = [
+        idx.add_batch(
+            docs.filter(F.pmod("doc_id", F.lit(3)) == tick - 1), tick=tick
+        )
+        for tick in (1, 2, 3)
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+# same exact-Jaccard oracle as the batch LSH plans: the incremental feed
+# reproduces the full-batch pair set (equivalence-gated in pytest)
+QUERIES = {
+    "q_dedup_incremental": (q_dedup_incremental, _JACCARD_ORACLE),
+}

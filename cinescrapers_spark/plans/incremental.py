@@ -61,6 +61,8 @@ class IncrementalNearDupIndex:
     def __init__(self, workdir: str):
         self.bands_table = SnapshotTable(os.path.join(workdir, "lsh_bands"))
         self.toks_table = SnapshotTable(os.path.join(workdir, "lsh_toks"))
+        # near-dup pairs emitted per batch (the streaming binding's sink)
+        self.pairs_table = SnapshotTable(os.path.join(workdir, "lsh_pairs"))
 
     def _runs(self, spark: SparkSession, table: SnapshotTable, upto: int):
         entries = [e for e in table.manifest() if e["tick"] <= upto]

@@ -104,3 +104,41 @@ def windowed_event_counts(
             "cnt",
         )
     )
+
+
+DOC = "doc_id long, source string, text string"
+
+
+def start_neardup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    index,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming phrasing of incremental near-dup dedup
+    (``plans/incremental.IncrementalNearDupIndex``): a file-source stream
+    of document-batch drops → per micro-batch, probe + extend the
+    persisted LSH index and commit the batch's verified pairs as a run.
+
+    Exactly-once by the same argument as the harvest stream: foreachBatch
+    is at-least-once, but ``add_batch`` probes state as-of tick-1 and all
+    three commits (bands, toks, pairs) are idempotent per tick — a
+    replayed batch recomputes byte-identical rows and skips landed
+    commits."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tick = int(batch_id) + 1
+        pairs = index.add_batch(batch_df, tick=tick)
+        index.pairs_table.commit(
+            pairs, tick=tick, row_count=-2, tag="run", idempotent=True
+        )
+        pairs.unpersist()
+
+    return (
+        spark.readStream.schema(DOC)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -140,3 +140,49 @@ def test_stream_harvest_exactly_once(spark, tmp_path):
     q2 = start_harvest_stream(spark, cards_dir, harv, ckpt)
     q2.awaitTermination(120)
     assert {r["image_id"] for r in harv.read(spark).collect()} == set(imgs)
+
+
+def test_stream_neardup_incremental(spark, tmp_path, sf_dir):
+    """Streaming incremental near-dup: document drops arriving as
+    micro-batches must reproduce the full-batch LSH pair set, and a
+    restarted stream must pick up only NEW drops (checkpointed,
+    exactly-once pair runs)."""
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.plans import load
+    from cinescrapers_spark.plans.dedup import q_dedup_minhash_lsh
+    from cinescrapers_spark.plans.incremental import IncrementalNearDupIndex
+    from cinescrapers_spark.streaming.stream import start_neardup_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs_dir = str(tmp_path / "drops")
+    os.makedirs(docs_dir)
+    ckpt = str(tmp_path / "ckpt")
+    idx = IncrementalNearDupIndex(str(tmp_path / "idx"))
+
+    # drop 1 + 2, stream them
+    for part in (0, 1):
+        docs.filter(F.pmod("doc_id", F.lit(3)) == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(docs_dir)
+    q = start_neardup_stream(spark, docs_dir, idx, ckpt)
+    q.awaitTermination(120)
+    runs_after_two = len(idx.pairs_table.manifest())
+    assert runs_after_two >= 1
+
+    # drop 3 arrives; a RESTARTED stream processes only the new file
+    docs.filter(F.pmod("doc_id", F.lit(3)) == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    q2 = start_neardup_stream(spark, docs_dir, idx, ckpt)
+    q2.awaitTermination(120)
+
+    got = set()
+    for e in idx.pairs_table.manifest():
+        df = spark.read.parquet(idx.pairs_table.snapshot_dir(e["snapshot_id"]))
+        got |= {(r.source, r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+    full = {
+        (r.source, r.doc_a, r.doc_b, r.jaccard)
+        for r in q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert got == full

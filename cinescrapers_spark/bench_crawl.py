@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=100)
     ap.add_argument("--harvest", action="store_true",
                     help="also run the image+caption harvest stage per tick")
+    ap.add_argument("--exec-cores", type=int, default=2,
+                    help="cores per executor JVM (executors = cpus // exec_cores)")
     args = ap.parse_args()
 
     import os
@@ -39,21 +41,21 @@ def main() -> None:
     from cinescrapers_spark.dims import hosts_df
     from cinescrapers_spark.session import get_spark
 
-    # local-cluster[N,2,mem]: N real executor JVMs × 2 cores — the honest
+    # local-cluster[N,C,mem]: N real executor JVMs × C cores — the honest
     # stand-in for "N vs 4N executors" (single-JVM local[k] conflates all
     # executors into one heap, whose GC/scheduler contention inverts
-    # scaling measurements). The pair is 1 vs 4 executors = 2 vs 8 cores:
-    # this VM's 32 vCPUs are backed by ~12-16 physical cores' worth of
-    # cycles (measured: a pure spin loop scales 8→32 procs at only ~0.6),
-    # so 8-vs-32 scaling is hardware-capped below any software's reach,
-    # while 2-vs-8 stays inside the machine's real capacity (spin loop
-    # 0.84) — see BASELINE.md §C/§D.
+    # scaling measurements). The default pair is 1 vs 4 executors × 1
+    # core: this VM's 32 vCPUs are backed by ~12-16 physical cores' worth
+    # of cycles whose spare capacity DRIFTS, so the pair must sit deep
+    # inside the always-available region — 1-vs-4 procs spin at ≥0.95
+    # capacity even on degraded nights, where 2-vs-8 dips to ~0.85 and
+    # 8-vs-32 is capped at ~0.6 — see BASELINE.md §C/§D0.2.
     os.environ.setdefault("SPARK_HOME", "/opt/spark")
-    n_exec = max(1, args.cpus // 2)
+    n_exec = max(1, args.cpus // args.exec_cores)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = get_spark(
         app_name=f"bench-crawl-{args.cpus}",
-        master=f"local-cluster[{n_exec},2,6144]",
+        master=f"local-cluster[{n_exec},{args.exec_cores},6144]",
         shuffle_partitions=args.cpus * 2,
         extra_conf={
             "spark.executor.memory": "5g",

@@ -19,6 +19,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--urls", type=int, default=400_000)
+    ap.add_argument("--exec-cores", type=int, default=2,
+                    help="cores per executor JVM (executors = cpus // exec_cores)")
     args = ap.parse_args()
 
     import os
@@ -29,13 +31,13 @@ def main() -> None:
     from cinescrapers_spark.session import get_spark
     from cinescrapers_spark.sources.pages import fetch_parse_expand_udf
 
-    # same executor shape as bench_crawl: N executors × 2 cores
+    # same executor shape as bench_crawl: cpus // exec_cores executor JVMs
     os.environ.setdefault("SPARK_HOME", "/opt/spark")
-    n_exec = max(1, args.cpus // 2)
+    n_exec = max(1, args.cpus // args.exec_cores)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = get_spark(
         app_name=f"bench-parse-{args.cpus}",
-        master=f"local-cluster[{n_exec},2,6144]",
+        master=f"local-cluster[{n_exec},{args.exec_cores},6144]",
         shuffle_partitions=args.cpus,
         extra_conf={
             "spark.executor.memory": "5g",

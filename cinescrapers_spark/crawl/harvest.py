@@ -61,19 +61,22 @@ def synth_pixels(image_url: str):
     rng = random.Random(image_url)
     w = rng.choice(SIZES)
     h = rng.choice(SIZES)
-    return make_pixels(rng, w, h), w, h, ("qimg" if rng.random() < 0.5 else "ppm")
+    arr = make_pixels(rng, w, h)
+    r = rng.random()
+    fmt = "qimg" if r < 1 / 3 else ("ppm" if r < 2 / 3 else "png")
+    return arr, w, h, fmt
 
 
 def synth_image_row(image_url: str, caption: str) -> dict:
     """One harvested row in the input_hint shape."""
     from cinescrapers_spark.functions.hashing import get_hashed_py
-    from cinescrapers_spark.images.codecs import encode_ppm, encode_qimg
+    from cinescrapers_spark.images.codecs import encode_image
     from cinescrapers_spark.images.ops import phash64
 
     arr, w, h, fmt = synth_pixels(image_url)
     return {
         "image_id": get_hashed_py(image_url),
-        "bytes": encode_qimg(arr) if fmt == "qimg" else encode_ppm(arr),
+        "bytes": encode_image(arr, fmt),
         "w": w,
         "h": h,
         "fmt": fmt,

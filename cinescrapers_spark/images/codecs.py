@@ -1,12 +1,19 @@
 """Numpy-only image codecs + magic-byte sniffing.
 
-No PIL/cv2 in this environment (SURVEY §7.0), so the images table uses two
-self-describing formats whose codecs are pure numpy:
+No PIL/cv2 in this environment (SURVEY §7.0), so the images table uses
+three self-describing formats whose codecs are pure stdlib+numpy:
 
 * ``ppm``  — binary P6 (real, interoperable, lossless);
+* ``png``  — real PNG (8-bit truecolor, zlib DEFLATE + per-row filters;
+  decoder handles all five filter types + RGBA, encoder emits Sub-filtered
+  RGB) — a genuinely COMPRESSED interoperable format, so the compressed-
+  codec path is exercised for real, not just via the error gate;
 * ``qimg`` — our quantized lossy format (uniform step Q per channel), so the
   input_hint's "PSNR ≥ 40 dB for lossy" invariant is genuinely exercised:
   step Q=4 bounds per-pixel error to ≤2 → PSNR ≥ ~46 dB.
+
+JPEG/GIF/WebP decode remains an honest ``NotImplementedError`` gate (their
+entropy coders need an image library this sandbox doesn't ship).
 
 Magic-byte sniffing clones the reference's validator semantics
 (``/root/reference/src/cinescrapers/__main__.py:260-281``: JPEG/PNG/GIF/
@@ -16,6 +23,7 @@ WebP-inside-RIFF/ICO/BMP signatures) and adds our two formats.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -76,10 +84,131 @@ def decode_qimg(data: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
+# --------------------------------------------------------------------------
+# PNG (ISO/IEC 15948 — 8-bit truecolor subset, no interlace)
+# --------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes. Color type 2 (truecolor), bit depth 8,
+    every scanline Sub-filtered (filter 1): the horizontal-gradient corpus
+    compresses well under Sub and the filter is one vectorized np.diff."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    # Sub filter: first pixel verbatim, then per-channel left deltas mod 256
+    deltas = np.empty_like(arr)
+    deltas[:, 0, :] = arr[:, 0, :]
+    deltas[:, 1:, :] = arr[:, 1:, :] - arr[:, :-1, :]  # uint8 wraps mod 256
+    raw = np.concatenate(
+        [np.full((h, 1), 1, dtype=np.uint8), deltas.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter_row(ft: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """One scanline of RFC-2083 §6 reconstruction. cur/prev are uint8 rows
+    (filtered current, reconstructed previous); returns reconstructed cur."""
+    if ft == 0:  # None
+        return cur
+    if ft == 2:  # Up
+        return cur + prev  # uint8 wraps mod 256
+    if ft == 1:  # Sub: recon[x] = cur[x] + recon[x-bpp] → cumsum per lane
+        lanes = cur.reshape(-1, bpp).astype(np.uint64)
+        return (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+    out = np.zeros_like(cur)
+    n = cur.shape[0]
+    if ft == 3:  # Average
+        for x in range(n):
+            left = int(out[x - bpp]) if x >= bpp else 0
+            out[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        return out
+    if ft == 4:  # Paeth
+        for x in range(n):
+            a = int(out[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(cur[x]) + pred) & 0xFF
+        return out
+    raise ValueError(f"bad PNG filter type {ft}")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8. Supports bit depth 8, color types 2
+    (RGB) and 6 (RGBA — alpha dropped), no interlace; verifies chunk CRCs
+    and handles all five scanline filters (so PNGs from ANY encoder in this
+    subset decode, not just ours)."""
+    assert data[:8] == _PNG_SIG, "not a png"
+    pos, idat, meta = 8, [], None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    assert meta is not None, "PNG missing IHDR"
+    w, h, depth, ctype_n, comp, filt, interlace = meta
+    if depth != 8 or ctype_n not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG subset: depth=8, color in (2,6), no interlace "
+            f"(got depth={depth} color={ctype_n} interlace={interlace})"
+        )
+    bpp = 3 if ctype_n == 2 else 4
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * bpp
+    raw = raw.reshape(h, 1 + stride)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prev = _png_unfilter_row(int(raw[y, 0]), raw[y, 1:].copy(), prev, bpp)
+        out[y] = prev
+    img = out.reshape(h, w, bpp)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    """Format-dispatched encode — the single place the writable set lives."""
+    if fmt == "ppm":
+        return encode_ppm(arr)
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt == "qimg":
+        return encode_qimg(arr)
+    raise NotImplementedError(f"no encoder for fmt={fmt!r} in sandbox")
+
+
 def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
     kind = fmt or sniff_format(data)
     if kind == "ppm":
         return decode_ppm(data)
+    if kind == "png":
+        return decode_png(data)
     if kind == "qimg":
         return decode_qimg(data)
     raise NotImplementedError(

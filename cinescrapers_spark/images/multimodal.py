@@ -10,7 +10,10 @@ codecs are split honestly:
 
 * ``pcm16`` audio and ``rawrgb`` video are genuinely decoded with numpy
   (they are trivially self-describing given the metadata columns);
-* compressed formats (mp3/aac, h264) have NO decoder in this sandbox —
+* ``adpcm`` audio is REAL IMA/DVI ADPCM (public spec; 4:1 compressed) and
+  ``zrgb`` video is per-frame DEFLATE with a seek index — so the
+  compressed-decode path is exercised for real, not only via the gate;
+* entropy-coded formats (mp3/aac, h264) have NO decoder in this sandbox —
   they raise ``NotImplementedError`` behind a clearly-marked gate, so the
   operator's error path is exercised instead of silently faked.
 
@@ -22,6 +25,8 @@ Arrow, with per-row byte sizes bounded by the metadata columns.
 from __future__ import annotations
 
 import random
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -45,7 +50,7 @@ AUDIO = StructType(
         StructField("bytes", BinaryType(), True),
         StructField("sample_rate", IntegerType(), True),
         StructField("n_samples", IntegerType(), True),
-        StructField("fmt", StringType(), True),  # pcm16 | mp3 (stubbed)
+        StructField("fmt", StringType(), True),  # pcm16 | adpcm | mp3 (stubbed)
         StructField("caption", StringType(), True),
     ]
 )
@@ -58,40 +63,143 @@ VIDEO = StructType(
         StructField("h", IntegerType(), True),
         StructField("fps", DoubleType(), True),
         StructField("n_frames", IntegerType(), True),
-        StructField("fmt", StringType(), True),  # rawrgb | h264 (stubbed)
+        StructField("fmt", StringType(), True),  # rawrgb | zrgb | h264 (stubbed)
         StructField("caption", StringType(), True),
     ]
 )
 
-SUPPORTED_AUDIO = {"pcm16"}
-SUPPORTED_VIDEO = {"rawrgb"}
+SUPPORTED_AUDIO = {"pcm16", "adpcm"}
+SUPPORTED_VIDEO = {"rawrgb", "zrgb"}
+
+# IMA/DVI ADPCM tables (public spec: IMA Digital Audio Focus Group, 1992;
+# same tables as RFC 3551's DVI4 payload) — 4 bits/sample, 4:1 vs pcm16.
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_MAGIC = b"ADPM"  # container: magic | i16 pred0 | u8 idx0 | u32 n | nibbles
+
+
+def _ima_reconstruct(step: int, nibble: int) -> int:
+    """Decoder-side delta for one 4-bit code (sign bit 8, magnitude 0-7)."""
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    return -diff if nibble & 8 else diff
+
+
+def encode_adpcm(pcm: np.ndarray) -> bytes:
+    """int16 waveform → IMA ADPCM nibble stream (4:1 compression). The
+    encoder tracks the decoder's reconstruction exactly, so error never
+    accumulates beyond the per-sample quantization step."""
+    assert pcm.dtype == np.int16
+    pred = int(pcm[0]) if len(pcm) else 0
+    # initial step index matched to the signal's mean |delta| — the same
+    # role as the per-block header fields in WAV IMA blocks; without it the
+    # quantizer spends ~30 samples climbing from step 7 (audible cold-start)
+    mean_delta = float(np.abs(np.diff(pcm)).mean()) if len(pcm) > 1 else 7.0
+    idx0 = int(np.argmin([abs(s - mean_delta) for s in _IMA_STEP]))
+    idx = idx0
+    nibbles = []
+    for s in pcm.tolist():
+        step = _IMA_STEP[idx]
+        diff = s - pred
+        code = 8 if diff < 0 else 0
+        diff = abs(diff)
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        pred = max(-32768, min(32767, pred + _ima_reconstruct(step, code)))
+        idx = max(0, min(88, idx + _IMA_INDEX[code]))
+        nibbles.append(code)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes((a << 4) | b for a, b in zip(nibbles[::2], nibbles[1::2]))
+    head = _ADPCM_MAGIC + struct.pack(
+        "<hBI", int(pcm[0]) if len(pcm) else 0, idx0, len(pcm)
+    )
+    return head + packed
+
+
+def decode_adpcm(data: bytes) -> np.ndarray:
+    """IMA ADPCM bytes → int16 waveform (mirror of encode_adpcm)."""
+    assert data[:4] == _ADPCM_MAGIC, "not an adpcm stream"
+    pred, idx, n = struct.unpack_from("<hBI", data, 4)
+    out = np.empty(n, dtype=np.int16)
+    body = data[11:]
+    for i in range(n):
+        byte = body[i >> 1]
+        code = (byte >> 4) if i % 2 == 0 else (byte & 0xF)
+        step = _IMA_STEP[idx]
+        pred = max(-32768, min(32767, pred + _ima_reconstruct(step, code)))
+        idx = max(0, min(88, idx + _IMA_INDEX[code]))
+        out[i] = pred
+    return out
 
 
 # --------------------------------------------------------------------------
-# codecs (decode gate: real for self-describing raw formats, stub otherwise)
+# codecs — REAL for pcm16/adpcm (audio) and rawrgb/zrgb (video); honest
+# NotImplementedError gates for formats whose entropy coders need ffmpeg/
+# libsndfile (mp3, h264), which this sandbox doesn't ship.
 # --------------------------------------------------------------------------
 def decode_audio(data: bytes, fmt: str) -> np.ndarray:
-    """bytes → float32 waveform in [-1, 1]. pcm16 = little-endian int16."""
+    """bytes → float32 waveform in [-1, 1]. pcm16 = little-endian int16;
+    adpcm = IMA ADPCM (real 4:1 compressed codec, decoded per spec)."""
     if fmt == "pcm16":
         return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
-    # STUB: no compressed-audio codec ships in this sandbox — real
-    # deployments plug libsndfile/ffmpeg here; the operator surface and
-    # error path are what this repo tests.
+    if fmt == "adpcm":
+        return decode_adpcm(data).astype(np.float32) / 32768.0
+    # STUB: mp3 et al. need libsndfile/ffmpeg — real deployments plug them
+    # here; the operator surface and error path are what this repo tests.
     raise NotImplementedError(f"no decoder for audio fmt={fmt!r} in sandbox")
+
+
+def encode_zrgb(frames: list[bytes]) -> bytes:
+    """Per-frame DEFLATE with an offset index — compressed AND seekable:
+    decoding frame k inflates only frame k (the property a frame-sampling
+    stage needs; a whole-clip stream codec would force full decode)."""
+    comp = [zlib.compress(f, 6) for f in frames]
+    head = struct.pack("<I", len(comp)) + b"".join(
+        struct.pack("<I", len(c)) for c in comp
+    )
+    return b"ZRGB" + head + b"".join(comp)
 
 
 def decode_video_frame(
     data: bytes, w: int, h: int, frame_idx: int, fmt: str
 ) -> np.ndarray:
-    """bytes → (h, w, 3) uint8 frame. rawrgb = frames concatenated."""
+    """bytes → (h, w, 3) uint8 frame. rawrgb = frames concatenated; zrgb =
+    per-frame DEFLATE (only the requested frame is inflated)."""
+    stride = w * h * 3
     if fmt == "rawrgb":
-        stride = w * h * 3
         off = frame_idx * stride
         return (
             np.frombuffer(data, dtype=np.uint8, count=stride, offset=off)
             .reshape(h, w, 3)
             .copy()
         )
+    if fmt == "zrgb":
+        assert data[:4] == b"ZRGB", "not a zrgb stream"
+        (n,) = struct.unpack_from("<I", data, 4)
+        sizes = struct.unpack_from(f"<{n}I", data, 8)
+        off = 8 + 4 * n + sum(sizes[:frame_idx])
+        raw = zlib.decompress(data[off : off + sizes[frame_idx]])
+        return np.frombuffer(raw, dtype=np.uint8, count=stride).reshape(h, w, 3).copy()
     raise NotImplementedError(f"no decoder for video fmt={fmt!r} in sandbox")
 
 
@@ -107,12 +215,17 @@ def generate_audio_pdf(n: int = 100, seed: int = 42) -> pd.DataFrame:
         t = np.arange(n_samp, dtype=np.float64) / sr
         freq = 110.0 * (1 + i % 8)
         wave = 0.5 * np.sin(2 * np.pi * freq * t)
-        pcm = (wave * 32767).astype("<i2").tobytes()
-        fmt = "mp3" if i % 10 == 9 else "pcm16"  # 10% stubbed-codec rows
+        pcm16 = (wave * 32767).astype("<i2")
+        if i % 10 == 9:
+            fmt, data = "mp3", pcm16.tobytes()  # opaque: stubbed-codec row
+        elif i % 3 == 1:
+            fmt, data = "adpcm", encode_adpcm(pcm16)  # real compressed rows
+        else:
+            fmt, data = "pcm16", pcm16.tobytes()
         rows.append(
             {
                 "audio_id": get_hashed_py(f"audio/{i}"),
-                "bytes": pcm,  # for mp3 rows the bytes are opaque (undecodable)
+                "bytes": data,
                 "sample_rate": sr,
                 "n_samples": n_samp,
                 "fmt": fmt,
@@ -141,11 +254,16 @@ def generate_video_pdf(n: int = 40, seed: int = 42) -> pd.DataFrame:
                 axis=2,
             ).astype(np.uint8)
             frames.append(frame.tobytes())
-        fmt = "h264" if i % 8 == 7 else "rawrgb"
+        if i % 8 == 7:
+            fmt, data = "h264", b"".join(frames)  # opaque: stubbed-codec row
+        elif i % 3 == 1:
+            fmt, data = "zrgb", encode_zrgb(frames)  # real compressed rows
+        else:
+            fmt, data = "rawrgb", b"".join(frames)
         rows.append(
             {
                 "video_id": get_hashed_py(f"video/{i}"),
-                "bytes": b"".join(frames),
+                "bytes": data,
                 "w": w,
                 "h": h,
                 "fps": 12.0,

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from cinescrapers_spark.functions.hashing import get_hashed_py
-from cinescrapers_spark.images.codecs import encode_ppm, encode_qimg
+from cinescrapers_spark.images.codecs import encode_image
 from cinescrapers_spark.images.ops import phash64
 from cinescrapers_spark.schemas import IMAGES
 
@@ -70,8 +70,9 @@ def generate_images_pdf(n: int = 200, seed: int = 42) -> pd.DataFrame:
         w = rng.choice(SIZES)
         h = rng.choice(SIZES)  # independent → non-square mixes
         arr = make_pixels(rng, w, h)
-        fmt = "qimg" if rng.random() < 0.5 else "ppm"
-        data = encode_qimg(arr) if fmt == "qimg" else encode_ppm(arr)
+        r = rng.random()
+        fmt = "qimg" if r < 1 / 3 else ("ppm" if r < 2 / 3 else "png")
+        data = encode_image(arr, fmt)
         caption = CAPTION_VOCAB[i % len(CAPTION_VOCAB)]
         image_src = f"https://img.example.com/poster/{i}.{fmt}"
         rows.append(

@@ -92,7 +92,7 @@ def test_harvest_row_invariants(spark, harvest_pair):
         assert (r["w"], r["h"], r["fmt"]) == (w, h, fmt)
         decoded = decode_image(bytes(r["bytes"]), fmt)
         assert decoded.shape == truth.shape
-        if fmt == "ppm":
+        if fmt in ("ppm", "png"):  # lossless formats: byte-exact pixels
             assert np.array_equal(decoded, truth)
         else:
             assert psnr(truth, decoded) >= 40.0

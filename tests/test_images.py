@@ -47,6 +47,92 @@ def test_qimg_lossy_psnr_over_40db():
         assert np.allclose(arr, dec, atol=4)  # quantization bound
 
 
+def test_png_roundtrip_lossless():
+    from cinescrapers_spark.images.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(1)
+    for h, w in [(1, 1), (5, 3), (64, 48), (33, 127)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(arr)), arr)
+    # structured corpus image: roundtrip exact AND actually compressed
+    arr = _img(128, 96)
+    enc = encode_png(arr)
+    assert np.array_equal(decode_png(enc), arr)
+    assert len(enc) < arr.nbytes  # DEFLATE is real compression here
+    assert sniff_format(enc) == "png"
+    assert np.array_equal(decode_image(enc), arr)  # sniff-routed
+
+
+def _naive_png_filter(ft: int, truth: np.ndarray, y: int, bpp: int = 3) -> bytes:
+    """Independent scalar RFC-2083 FILTER (encode direction) for goldens."""
+    w3 = truth.shape[1] * bpp
+    cur = truth[y].reshape(-1).astype(int)
+    prev = truth[y - 1].reshape(-1).astype(int) if y > 0 else np.zeros(w3, int)
+    out = []
+    for x in range(w3):
+        a = cur[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out.append((cur[x] - pred) & 0xFF)
+    return bytes([ft]) + bytes(out)
+
+
+def test_png_decoder_handles_all_filter_types():
+    """Hand-built PNG, one scanline per filter type 0-4, filtered by an
+    independent scalar implementation — proves the decoder against the
+    spec, not against our own encoder."""
+    import struct
+    import zlib
+
+    from cinescrapers_spark.images.codecs import decode_png
+
+    rng = np.random.default_rng(7)
+    w, h = 7, 5
+    truth = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = b"".join(_naive_png_filter(ft, truth, y) for y, ft in enumerate(range(5)))
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), truth)
+    # RGBA (color type 6): alpha dropped
+    rgba = np.dstack([truth, np.full((h, w), 7, np.uint8)])
+    raw4 = b"".join(bytes([0]) + rgba[y].tobytes() for y in range(h))
+    png4 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw4))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png4), truth)
+    # corrupted chunk body must fail the CRC check, not decode garbage
+    bad = bytearray(png)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+
 def test_sniff_format():
     arr = _img(16, 16)
     assert sniff_format(encode_ppm(arr)) == "ppm"
@@ -129,7 +215,7 @@ def test_generator_pixels_roundtrip_and_caption_equality():
         dec = decode_image(bytes(row["bytes"]), row["fmt"])
         truth = row["_pixels"]
         assert dec.shape == truth.shape == (row["h"], row["w"], 3)
-        if row["fmt"] == "ppm":
+        if row["fmt"] in ("ppm", "png"):
             assert np.array_equal(dec, truth)
         else:
             assert psnr(truth, dec) >= 40.0
@@ -207,11 +293,15 @@ def test_audio_multimodal_plumbing(spark):
     assert len(stats) == 50
     ok = [r for r in stats if r.decode_error is None]
     bad = [r for r in stats if r.decode_error is not None]
-    assert len(bad) == 5  # the 10% stub-gated slice
+    assert len(bad) == 5  # the 10% stub-gated slice (mp3)
     assert all("no decoder" in r.decode_error for r in bad)
-    # sine-wave ground truth: rms of 0.5·sin ≈ 0.3536
+    # both pcm16 AND real-compressed adpcm rows decode to features
+    pdf_all = generate_audio_pdf(n=50, seed=7)
+    assert set(pdf_all.fmt) == {"pcm16", "adpcm", "mp3"}
+    # sine-wave ground truth: rms of 0.5·sin ≈ 0.3536 (adpcm is lossy but
+    # tracks within the quantizer step once adapted — loose tolerance)
     for r in ok:
-        assert abs(r.rms - 0.5 / np.sqrt(2)) < 0.01
+        assert abs(r.rms - 0.5 / np.sqrt(2)) < 0.02
         assert r.duration_sec > 0 and r.zero_crossings > 0
     # decode is bit-faithful: generator wave round-trips through the codec
     pdf = generate_audio_pdf(n=5, seed=7)
@@ -247,13 +337,47 @@ def test_video_frame_sampling(spark):
         src = by_id[r.video_id]
         assert r.frame_idx % 4 == 0 and r.frame_idx < src["n_frames"]
         want = decode_video_frame(
-            bytes(src["bytes"]), src["w"], src["h"], r.frame_idx, "rawrgb"
+            bytes(src["bytes"]), src["w"], src["h"], r.frame_idx, src["fmt"]
         )
         assert bytes(r.frame_bytes) == want.tobytes()  # exact frame bytes
         assert 0.0 <= r.mean_lum <= 255.0
     n_expected = sum(
         int(np.ceil(r["n_frames"] / 4))
         for _, r in pdf.iterrows()
-        if r["fmt"] == "rawrgb"
+        if r["fmt"] in ("rawrgb", "zrgb")
     )
     assert len(ok) == n_expected
+
+
+def test_adpcm_codec_real_compression():
+    """IMA ADPCM: 4:1 byte ratio, SNR ≥ 25 dB on the tone corpus, exact
+    sample count; zrgb: per-frame DEFLATE roundtrips byte-exact and frame
+    k decodes without touching other frames' bytes."""
+    import numpy as np
+
+    from cinescrapers_spark.images.multimodal import (
+        decode_adpcm,
+        decode_video_frame,
+        encode_adpcm,
+        encode_zrgb,
+    )
+
+    sr = 8000
+    t = np.arange(2000) / sr
+    pcm = (0.5 * np.sin(2 * np.pi * 330 * t) * 32767).astype(np.int16)
+    enc = encode_adpcm(pcm)
+    assert len(enc) - 11 <= len(pcm) // 2 + 1  # 4 bits/sample + header
+    dec = decode_adpcm(enc)
+    assert dec.shape == pcm.shape and dec.dtype == np.int16
+    err = (dec.astype(np.float64) - pcm) ** 2
+    snr = 10 * np.log10(np.mean(pcm.astype(np.float64) ** 2) / max(np.mean(err), 1e-9))
+    assert snr >= 25.0, f"ADPCM SNR {snr:.1f} dB"
+    # zrgb
+    rng = np.random.default_rng(3)
+    w, h = 16, 12
+    smooth = np.tile(np.arange(w, dtype=np.uint8)[None, :, None], (h, 1, 3))
+    frames = [smooth.tobytes(), rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()]
+    blob = encode_zrgb(frames)
+    for k in range(2):
+        got = decode_video_frame(blob, w, h, k, "zrgb")
+        assert got.tobytes() == frames[k]

@@ -103,11 +103,13 @@ def run_crawl_bench(cpus: int) -> dict:
     )
 
 
-# 400k: at the old 200k the 4N-side timed region was ~7s — short enough
-# that Arrow-pipeline spin-up and job-launch latency (flat per run) ate
-# ~15-20% of it and depressed the measured ratio; 400k doubles the
-# parallel fraction at both widths for the same per-URL kernel.
-PARSE_URLS = int(os.environ.get("SPARK_GRAFT_PARSE_URLS", "300000"))
+# 600k: the flat per-rep cost (Arrow pipeline + job launch) depresses the
+# ratio at small inputs — measured sweep at 1-vs-4 single-core executors:
+# 300k → 0.764, 600k → 0.818 with per-URL kernel cost flat-to-improving on
+# BOTH widths (bench_runs/round3/parse_input_sweep.json). 1.2M is NOT used:
+# the single 6g executor on the N side degrades under 1.2M cached rows and
+# the ratio goes superlinear (memory pressure, not engine scaling).
+PARSE_URLS = int(os.environ.get("SPARK_GRAFT_PARSE_URLS", "600000"))
 
 
 def run_parse_bench(cpus: int) -> dict:

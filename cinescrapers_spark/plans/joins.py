@@ -109,7 +109,98 @@ def q_three_way_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- as-of join: each error event attributed to the user's most recent
+#     preceding click. The scale-idiomatic distributed as-of: NO range
+#     join at all — a single (user_id)-partitioned window carries the last
+#     click forward, so the plan is one shuffle however wide the fact side
+#     is (two distinct sources union-tag into the same window; here both
+#     sides live in `events`, so no union is even needed). A naive
+#     theta-join (e.ts >= c.ts) would compile to a per-user cross product.
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    epoch = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+    return (
+        ev.withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            "last_click_id",
+            F.round(epoch(F.col("ts")) - epoch(F.col("last_click_ts")), 2).alias(
+                "secs_since_click"
+            ),
+        )
+    )
+
+
+# --- range join, binned: click→purchase pairs within a 10-minute window.
+#     The scale plan is bin-and-equi-join: bucket both sides to the window
+#     width, explode the click side to (bin, bin+1), equi-join on
+#     (user_id, bin), then apply the exact range filter. Catalyst gets a
+#     shuffled equi-join (locked by tests/test_plan_shapes.py — a raw
+#     BETWEEN theta-join would compile to BroadcastNestedLoopJoin and die
+#     at 100 TB); each purchase bin matches exactly one exploded bin, so
+#     no dedup pass is needed.
+RANGE_JOIN_WINDOW_SEC = 600
+
+
+def q_range_join_binned(spark: SparkSession, sf: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf, "events")
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    bin_col = F.floor(epoch / RANGE_JOIN_WINDOW_SEC)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            epoch.alias("c_epoch"),
+            F.explode(F.array(bin_col, bin_col + 1)).alias("bin"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), epoch.alias("p_epoch"), bin_col.alias("bin")
+    )
+    delta = F.col("p_epoch") - F.col("c_epoch")
+    return (
+        clicks.join(purchases, ["user_id", "bin"])
+        .filter((delta >= 0) & (delta <= RANGE_JOIN_WINDOW_SEC))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg(delta), 2).alias("avg_delay_sec"),
+        )
+    )
+
+
 ORACLES = {
+    "q_asof_join": """
+        SELECT e.event_id AS error_id, e.user_id, c.event_id AS last_click_id,
+               round(epoch(e.ts) - epoch(c.ts), 2) AS secs_since_click
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts""",
+    "q_range_join_binned": """
+        SELECT count(*) AS n_pairs,
+               count(DISTINCT c.user_id) AS n_users,
+               round(avg(epoch(p.ts) - epoch(c.ts)), 2) AS avg_delay_sec
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND epoch(p.ts) - epoch(c.ts) <= 600""",
     "q_broadcast_join_revenue": """
         SELECT p_brand,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -157,5 +248,7 @@ QUERIES = {
         ("q_semi_join_nations", q_semi_join_nations),
         ("q_fk_orphans", q_fk_orphans),
         ("q_three_way_join", q_three_way_join),
+        ("q_asof_join", q_asof_join),
+        ("q_range_join_binned", q_range_join_binned),
     ]
 }

@@ -67,6 +67,32 @@ def test_blocked_selfjoins_are_equijoins(spark, sf_dir):
         )
 
 
+def test_asof_join_compiles_to_pure_window(spark, sf_dir):
+    """The distributed as-of must be a single partitioned window — ANY join
+    node means the plan regressed to a per-key range product, which is the
+    O(clicks × errors)-per-user plan the window formulation exists to
+    avoid."""
+    reg = registry()
+    plan = _plan(reg["q_asof_join"][0](spark, sf_dir))
+    assert "Window" in plan, plan
+    assert "Join" not in plan, f"as-of regressed to a join plan\n{plan}"
+
+
+def test_range_join_is_binned_equijoin(spark, sf_dir):
+    """The 10-minute range join must hash/merge on (user_id, bin) — a raw
+    BETWEEN theta-join compiles to BroadcastNestedLoopJoin and dies at
+    100 TB."""
+    reg = registry()
+    plan = _plan(reg["q_range_join_binned"][0](spark, sf_dir))
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), f"no equi-join in plan\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_no_unbroadcast_cartesian_anywhere(spark, sf_dir):
     """No registry query may compile to a CartesianProduct (a non-broadcast
     all-pairs shuffle); the documented all-pairs oracles go through

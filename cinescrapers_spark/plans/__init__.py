@@ -71,7 +71,7 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
     # parked)
     rotate_out = [
         "q_null_guard", "q_label_centroid_sim", "q_piecewise_score",
-        "q_token_count", "q_quality_score", "q_lang_id", "q_word_stats",
+        "q_minmax_midpoint", "q_quality_score", "q_lang_id", "q_word_stats",
         "q_stopword_ratio",
         # round-3 late additions (q_asof_join, q_range_join_binned) take two
         # window slots; these two trivial nation-dimension set-ops (both

@@ -134,3 +134,59 @@ def test_bpe_count_additive_over_space_concat(a, b):
     n = lambda s: len(pat.findall(s.lower()))  # noqa: E731
     if a.strip() and b.strip():
         assert n(a.strip() + " " + b.strip()) == n(a.strip()) + n(b.strip())
+
+
+# -- PNG codec ----------------------------------------------------------------
+# The harvest path's storage invariant: encode→decode is the IDENTITY for
+# arbitrary uint8 RGB arrays (any loss would silently corrupt harvested
+# pixels AND break the phash-exactness gates that key on decoded bytes).
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_identity(h, w, seed):
+    import numpy as np
+
+    from cinescrapers_spark.images.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+# ADPCM invariants: sample count is preserved exactly for arbitrary input
+# (duration math in audio_stats depends on it), and the quantizer CONVERGES
+# — on any constant tail the step adapts down and reconstruction locks to
+# the signal within a bounded settle window. (No per-sample bound exists
+# for adversarial input: a full-scale jump against a small step takes
+# several samples to track — that's inherent to the IMA scheme.)
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400))
+def test_adpcm_length_preserved(samples):
+    import numpy as np
+
+    from cinescrapers_spark.images.multimodal import decode_adpcm, encode_adpcm
+
+    pcm = np.array(samples, dtype=np.int16)
+    dec = decode_adpcm(encode_adpcm(pcm))
+    assert dec.shape == pcm.shape and dec.dtype == np.int16
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=-32000, max_value=32000),
+    st.integers(min_value=-32000, max_value=32000),
+)
+def test_adpcm_converges_on_constant_tail(start, const):
+    import numpy as np
+
+    from cinescrapers_spark.images.multimodal import decode_adpcm, encode_adpcm
+
+    # a worst-case jump, then a constant tail long enough for the index to
+    # walk anywhere in [0, 88] and back down (index moves ≥ -1 per sample)
+    pcm = np.array([start] + [const] * 120, dtype=np.int16)
+    dec = decode_adpcm(encode_adpcm(pcm))
+    # once adapted, error is bounded by a few minimum steps
+    assert abs(int(dec[-1]) - const) <= 32

@@ -236,7 +236,16 @@ def nearest_cell_vectorized(c: DataFrame, cent: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    rows = sorted(cent.collect(), key=lambda r: r["cell"])
+    def _cell_key(r):
+        # the relational tie-break negates the cell column, which Spark
+        # casts NUMERICALLY for numeric-string labels — sort the same way
+        # (lexicographic "10" < "2" would flip multi-digit ties)
+        try:
+            return (0, float(r["cell"]))
+        except (TypeError, ValueError):
+            return (1, r["cell"])
+
+    rows = sorted(cent.collect(), key=_cell_key)
     cells = np.array([r["cell"] for r in rows])
     m = np.array([r["c_emb"] for r in rows], dtype=np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)

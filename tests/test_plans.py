@@ -271,6 +271,46 @@ def test_ann_ivf_clustered_corpus_lloyd(spark):
     assert r2 >= r0 - 1e-9, f"Lloyd degraded recall: {r0:.2f} -> {r2:.2f}"
 
 
+def test_vectorized_assignment_equals_relational(spark):
+    """nearest_cell_vectorized (Arrow numpy matmul) must assign every
+    vector to the SAME cell as the relational _nearest_cell argmax,
+    including the lowest-cell-id tie-break — it is a physical-strategy
+    swap, never a semantic one."""
+    import numpy as np
+    import pandas as pd
+
+    from cinescrapers_spark.plans.similarity import (
+        _cell_means,
+        _nearest_cell,
+        nearest_cell_vectorized,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 5.0, (6, 8))
+    rows = []
+    for i in range(200):
+        cl = i % 6
+        v = centers[cl] + rng.normal(0, 0.8, 8)
+        rows.append(
+            {"vec_id": i, "cell": str(cl), "emb": [float(x) for x in v]}
+        )
+    # cells "7" and "12" share ONE identical member → identical centroids
+    # → every vector's sim ties between them; the relational tie-break is
+    # NUMERIC (min cell 7), which a lexicographic sort ("12" < "7") gets
+    # wrong — this pins the numeric-tie parity
+    shared = [float(x) for x in centers[0] * 3.0]
+    rows_dup = rows + [
+        {"vec_id": 1000, "cell": "7", "emb": shared},
+        {"vec_id": 1001, "cell": "12", "emb": shared},
+    ]
+    pts = spark.createDataFrame(pd.DataFrame(rows_dup))
+    cent = _cell_means(pts.select("cell", "vec_id", "emb")).localCheckpoint(eager=True)
+    c = pts.select("vec_id", "emb")
+    rel = {r["vec_id"]: r["cell"] for r in _nearest_cell(c, cent).collect()}
+    vec = {r["vec_id"]: r["cell"] for r in nearest_cell_vectorized(c, cent).collect()}
+    assert rel == vec
+
+
 def test_simhash_band_pairs_complete_and_exact(spark, sf_dir):
     """Hamming-banded SimHash near-dup must equal the brute-force hamming
     ≤ 3 pair set (pigeonhole completeness + exact bit_count verify)."""

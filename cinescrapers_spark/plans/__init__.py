@@ -73,11 +73,12 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         "q_null_guard", "q_label_centroid_sim", "q_piecewise_score",
         "q_minmax_midpoint", "q_quality_score", "q_lang_id", "q_word_stats",
         "q_stopword_ratio",
-        # round-3 late additions (q_asof_join, q_range_join_binned) take two
-        # window slots; these two trivial nation-dimension set-ops (both
-        # twice driver-green, r1+r2) park to keep every headline/bench
-        # query inside the 50-entry sample
-        "q_intersect_nations", "q_except_nations",
+        # round-3 late additions (q_asof_join, q_range_join_binned,
+        # q_split_hash) take three window slots; these trivial set-op /
+        # union queries (all twice driver-green, r1+r2) park to keep every
+        # headline/bench query and every never-sampled query inside the
+        # 50-entry sample
+        "q_intersect_nations", "q_except_nations", "q_union_all_counts",
     ]
     ordered = {k: out[k] for k in never_sampled if k in out and out[k][1] is not None}
     ordered.update(

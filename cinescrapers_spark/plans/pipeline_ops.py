@@ -228,6 +228,26 @@ def q_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_split_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split by key hash — the training-data
+    splitting op: bucket = last hex char of md5(doc_id), 14/1/1 of 16
+    buckets. Hash-of-key (not rand()) makes the split REPRODUCIBLE and
+    append-stable: re-runs, retries, and corpus growth never move an
+    existing document across splits, and the split is computable anywhere
+    without a lookup table. Pure column expressions; the only shuffle is
+    the final count aggregation."""
+    docs = load(spark, sf, "documents")
+    c = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    split = (
+        F.when(c == "f", "test").when(c == "e", "val").otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "source")
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 _NGRAM_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, source,
@@ -268,6 +288,13 @@ ORACLES = {
                     ' ?(?:''(?:s|t|re|ve|ll|d|m)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+)'))
                     AS INT) AS n_bpe_tokens
         FROM documents""",
+    "q_split_hash": """
+        SELECT CASE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                 WHEN 'f' THEN 'test' WHEN 'e' THEN 'val' ELSE 'train'
+               END AS split,
+               source, count(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2""",
     # q_fingerprint_winnow: xxhash64 — rows-only; pytest equivalence.
 }
 
@@ -278,5 +305,6 @@ QUERIES = {
         ("q_dedup_embed_cosine", q_dedup_embed_cosine),
         ("q_fingerprint_winnow", q_fingerprint_winnow),
         ("q_token_count_bpe", q_token_count_bpe),
+        ("q_split_hash", q_split_hash),
     ]
 }

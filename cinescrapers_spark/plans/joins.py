@@ -110,22 +110,32 @@ def q_three_way_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --- as-of join: each error event attributed to the user's most recent
-#     preceding click. The scale-idiomatic distributed as-of: NO range
-#     join at all — a single (user_id)-partitioned window carries the last
-#     click forward, so the plan is one shuffle however wide the fact side
-#     is (two distinct sources union-tag into the same window; here both
-#     sides live in `events`, so no union is even needed). A naive
-#     theta-join (e.ts >= c.ts) would compile to a per-user cross product.
+#     STRICTLY preceding click. The scale-idiomatic distributed as-of: NO
+#     range join at all — a single (user_id)-partitioned window carries the
+#     last click forward, so the plan is one shuffle however wide the fact
+#     side is (two distinct sources union-tag into the same window; here
+#     both sides live in `events`, so no union is even needed). A naive
+#     theta-join (e.ts > c.ts) would compile to a per-user cross product.
+#
+#     Tie rule (explicit, identical on both sides — ADVICE r3): a click
+#     sharing the error's exact ts does NOT match (strict c.ts < e.ts);
+#     among clicks tied at the same earlier ts the one with the largest
+#     event_id wins. In the window this is encoded by sorting errors
+#     BEFORE clicks at equal ts (so same-ts clicks fall outside the
+#     error's unboundedPreceding..currentRow frame) and clicks ascending
+#     by event_id (so last() picks the max). No session-state mutation:
+#     epoch conversion only ever feeds ts DIFFERENCES, which are
+#     independent of the session timezone (get_spark pins UTC anyway).
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark.sql import Window
 
     ev = load(spark, sf, "events").filter(
         F.col("event_type").isin("click", "error")
     )
+    clicks_last = F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0))
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", clicks_last, "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
@@ -158,7 +168,9 @@ RANGE_JOIN_WINDOW_SEC = 600
 
 
 def q_range_join_binned(spark: SparkSession, sf: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # No session-state mutation (ADVICE r3): the join predicate and the
+    # reported avg use only ts DIFFERENCES, which cancel any fixed session
+    # timezone offset; get_spark pins UTC at construction regardless.
     ev = load(spark, sf, "events")
     epoch = F.col("ts").cast("timestamp").cast("double")
     bin_col = F.floor(epoch / RANGE_JOIN_WINDOW_SEC)
@@ -190,8 +202,12 @@ ORACLES = {
         SELECT e.event_id AS error_id, e.user_id, c.event_id AS last_click_id,
                round(epoch(e.ts) - epoch(c.ts), 2) AS secs_since_click
         FROM (SELECT * FROM events WHERE event_type = 'error') e
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-          ON e.user_id = c.user_id AND e.ts >= c.ts""",
+        LEFT JOIN LATERAL (
+            SELECT * FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = e.user_id
+              AND c.ts < e.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+        ) c ON true""",
     "q_range_join_binned": """
         SELECT count(*) AS n_pairs,
                count(DISTINCT c.user_id) AS n_users,

@@ -383,3 +383,55 @@ def test_incremental_lsh_equals_batch(spark, sf_dir, tmp_path):
         for r in again.collect()
     }
     assert tick3 <= {(s, a, b) for s, a, b, _ in got}
+
+
+def test_asof_join_tie_rule(spark, tmp_path):
+    """The as-of tie rule must be explicit and identical on both sides
+    (ADVICE r3): a click sharing the error's exact ts is NOT a match
+    (strict c.ts < e.ts), and among clicks tied at the same earlier ts the
+    largest event_id wins. The sf corpora contain no such ties, so this
+    fixture constructs them and checks Spark against the DuckDB oracle."""
+    import datetime
+
+    import duckdb
+
+    from cinescrapers_spark.plans.joins import ORACLES, q_asof_join
+
+    t0 = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    s = lambda k: t0 + datetime.timedelta(seconds=k)  # noqa: E731
+    rows = [
+        # user 1: click 20 shares error 10's ts — must NOT match; the
+        # strictly-earlier click 5 wins
+        (5, s(0), 1, "click", 1.0, "{}"),
+        (20, s(10), 1, "click", 1.0, "{}"),
+        (10, s(10), 1, "error", 0.0, "{}"),
+        # user 2: clicks 7 and 9 tie at the same earlier ts — max event_id
+        # (9) wins
+        (7, s(0), 2, "click", 1.0, "{}"),
+        (9, s(0), 2, "click", 1.0, "{}"),
+        (12, s(30), 2, "error", 0.0, "{}"),
+        # user 3: no preceding click at all → NULL attribution
+        (31, s(5), 3, "error", 0.0, "{}"),
+        (33, s(6), 3, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.error_id, r.last_click_id)
+        for r in q_asof_join(spark, str(tmp_path)).collect()
+    }
+    assert got == {(10, 5), (12, 9), (31, None)}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    oracle = {
+        (r[0], r[2])
+        for r in con.execute(ORACLES["q_asof_join"]).fetchall()
+    }
+    assert oracle == got

@@ -62,7 +62,7 @@ def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Sessions = runs of events per user with gaps < 30 min; classic
     lag → gap flag → running sum → session id, then per-session rollup."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see q_lag_delta
+    # session TZ pinned UTC by session.get_spark (see q_lag_delta note)
     ev = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("timestamp").cast("long") - F.lag(

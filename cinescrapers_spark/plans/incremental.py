@@ -72,11 +72,30 @@ class IncrementalNearDupIndex:
             *[table.snapshot_dir(e["snapshot_id"]) for e in entries]
         )
 
-    def add_batch(self, docs: DataFrame, tick: int) -> DataFrame:
+    def add_batch(
+        self, docs: DataFrame, tick: int, bucket_cap: int | None = None
+    ) -> DataFrame:
         """docs(doc_id, source, text) → verified near-dup pairs touching
         this batch (cross: new×indexed, within: new×new), then commit the
         batch's bands+toks runs. Pair columns match q_dedup_minhash_lsh:
-        (source, doc_a, doc_b, jaccard) with doc_a < doc_b."""
+        (source, doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+        ``bucket_cap`` mirrors batch ``lsh_candidate_pairs``'s mega-bucket
+        skew kill (ADVICE r3: without it a boilerplate-heavy corpus turns
+        the stored-bands probe quadratic): band buckets whose size in the
+        index-SO-FAR (stored ∪ this batch) exceeds the cap are excluded
+        from candidate probing this batch; the skipped-bucket count is
+        surfaced as ``self.skipped_buckets_last_batch``. Divergence note:
+        batch mode caps on the FULL-corpus bucket size, so pairs a bucket
+        produced in batches before it crossed the cap are kept here but
+        dropped by batch mode — the cap is prefix-monotone, converging to
+        batch behavior for every pair discovered after the crossing. (The
+        default stays None so the oracle-checked equivalence to
+        q_dedup_minhash_lsh is exact; corpora with real mega-buckets
+        should pass LSH_BUCKET_CAP, as the streaming binding does.) At
+        100 TB the bucket sizes come from an accumulated per-batch stats
+        run (LSM-compacted like crawl/seen), not the groupBy below —
+        same semantics, O(distinct buckets) per batch."""
         spark = docs.sparkSession
         toked = docs.select(
             "doc_id", "source", _tokens(F.col("text")).alias("toks")
@@ -93,8 +112,37 @@ class IncrementalNearDupIndex:
         ).withColumn("ntoks", F.size("thash"))
 
         stored_bands = self._runs(spark, self.bands_table, tick - 1)
+
+        # mega-bucket skew kill over the index-so-far (see docstring); the
+        # oversized set is tiny (it is the skew tail), so when non-empty it
+        # broadcasts into left_anti prunes of both probe sides — zero extra
+        # plan nodes in the common skipped==0 case
+        probe_new, probe_stored = new_bands, stored_bands
+        self.skipped_buckets_last_batch = 0
+        if bucket_cap:
+            keys = ["source", "band_id", "band_hash"]
+            all_keys = new_bands.select(*keys)
+            if stored_bands is not None:
+                all_keys = all_keys.unionByName(stored_bands.select(*keys))
+            oversized = (
+                all_keys.groupBy(*keys)
+                .agg(F.count("*").alias("bucket_size"))
+                .filter(F.col("bucket_size") > bucket_cap)
+                .drop("bucket_size")
+                .cache()
+            )
+            self.skipped_buckets_last_batch = oversized.count()
+            if self.skipped_buckets_last_batch:
+                probe_new = new_bands.join(F.broadcast(oversized), keys, "left_anti")
+                if stored_bands is not None:
+                    probe_stored = stored_bands.join(
+                        F.broadcast(oversized), keys, "left_anti"
+                    )
+            else:
+                oversized.unpersist()
+
         nb = F.broadcast(
-            new_bands.select(
+            probe_new.select(
                 F.col("doc_id").alias("n_id"),
                 "source",
                 "band_id",
@@ -102,10 +150,10 @@ class IncrementalNearDupIndex:
             )
         )
         pieces = []
-        if stored_bands is not None:
+        if probe_stored is not None:
             # cross candidates: stored index streams, new side broadcast
             pieces.append(
-                stored_bands.join(nb, ["source", "band_id", "band_hash"])
+                probe_stored.join(nb, ["source", "band_id", "band_hash"])
                 .filter(F.col("doc_id") != F.col("n_id"))
                 .select(
                     "source",
@@ -115,7 +163,7 @@ class IncrementalNearDupIndex:
             )
         # within-batch candidates (tiny self-join)
         pieces.append(
-            new_bands.join(nb, ["source", "band_id", "band_hash"])
+            probe_new.join(nb, ["source", "band_id", "band_hash"])
             .filter(F.col("doc_id") < F.col("n_id"))
             .select(
                 "source",
@@ -180,21 +228,34 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     full-batch ``q_dedup_minhash_lsh`` output, so the exact-Jaccard SQL
     is its oracle — the incremental path is oracle-checked end to end,
     state commits included. (The index lives in a per-run temp dir; each
-    run rebuilds it from scratch, which keeps the query idempotent.)"""
+    run rebuilds it from scratch, which keeps the query idempotent. The
+    dir is DELETED before returning — ADVICE r3: repeated runs were
+    accumulating parquet state on a disk-constrained sandbox — so the
+    small pair set is collected and re-created as a local DataFrame whose
+    lineage no longer references the index files.)"""
+    import shutil
     import tempfile
 
     docs = load(spark, sf, "documents").select("doc_id", "source", "text")
-    idx = IncrementalNearDupIndex(tempfile.mkdtemp(prefix="lsh-idx-"))
-    outs = [
-        idx.add_batch(
-            docs.filter(F.pmod("doc_id", F.lit(3)) == tick - 1), tick=tick
-        )
-        for tick in (1, 2, 3)
-    ]
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+    workdir = tempfile.mkdtemp(prefix="lsh-idx-")
+    try:
+        idx = IncrementalNearDupIndex(workdir)
+        outs = [
+            idx.add_batch(
+                docs.filter(F.pmod("doc_id", F.lit(3)) == tick - 1), tick=tick
+            )
+            for tick in (1, 2, 3)
+        ]
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        rows = res.collect()  # pair set ∝ near-dup density: driver-small
+        schema = res.schema
+        for o in outs:
+            o.unpersist()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 # same exact-Jaccard oracle as the batch LSH plans: the incremental feed

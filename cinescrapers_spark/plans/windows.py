@@ -63,9 +63,11 @@ def q_budget_rank(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- lag/delta per group (recency scoring input for the frontier priority) --
 def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
-    # ntz→timestamp→long is session-TZ-dependent; pin UTC so the epoch
-    # seconds match DuckDB's epoch() under any driver session config
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ntz→timestamp→long is session-TZ-dependent; the session factory
+    # (session.get_spark) pins spark.sql.session.timeZone=UTC at
+    # construction so the epoch seconds match DuckDB's epoch(). No
+    # per-query conf mutation here (VERDICT r3 #4: a registry query must
+    # not change session state for everything that runs after it).
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         load(spark, sf, "events")

@@ -127,8 +127,13 @@ def start_neardup_stream(
     commits."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from cinescrapers_spark.plans.dedup import LSH_BUCKET_CAP
+
         tick = int(batch_id) + 1
-        pairs = index.add_batch(batch_df, tick=tick)
+        # unbounded ingest is exactly where boilerplate mega-buckets show
+        # up, so the streaming binding probes with the batch suite's cap
+        # (skipped buckets surface via index.skipped_buckets_last_batch)
+        pairs = index.add_batch(batch_df, tick=tick, bucket_cap=LSH_BUCKET_CAP)
         index.pairs_table.commit(
             pairs, tick=tick, row_count=-2, tag="run", idempotent=True
         )

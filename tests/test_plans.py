@@ -14,6 +14,38 @@ def test_registry_sane():
         assert callable(fn), name
 
 
+def test_driver_window_invariants():
+    """The driver's correctness gate samples the FIRST 50 registry entries;
+    rotation policy (plans/__init__.py) must never violate the pins
+    (VERDICT r3 #8): headline/bench queries always inside the window,
+    q_dedup_incremental (side-effecting index build) always outside, no
+    rows-only query burning an oracle slot."""
+    from cinescrapers_spark.plans import (
+        DRIVER_WINDOW_SLOTS,
+        HEADLINE_QUERIES,
+        PINNED_OUT,
+        driver_window,
+    )
+
+    reg = registry()
+    win = driver_window()
+    assert len(win) == DRIVER_WINDOW_SLOTS
+    # every window slot is oracle-backed (rows-only exactness lives in pytest)
+    for name in win:
+        assert reg[name][1] is not None, f"rows-only query {name} in window"
+    # bench headline queries are never parked
+    for name in HEADLINE_QUERIES:
+        assert name in reg and name in win, f"headline query {name} parked"
+    # expensive side-effecting queries are never sampled by the driver
+    for name in PINNED_OUT:
+        assert name in reg and name not in win, f"pinned-out {name} in window"
+    # parked cohort must stay small enough that alternation gives every
+    # oracle query a driver row at least every other round
+    oracle = [n for n, (_, sql) in reg.items() if sql]
+    parked = [n for n in oracle if n not in win]
+    assert len(parked) <= DRIVER_WINDOW_SLOTS - len(HEADLINE_QUERIES)
+
+
 def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     """LSH-verified pairs must equal exact-Jaccard pairs (band math bounds
     the miss probability at ~3e-4 per pair at θ=0.8)."""
@@ -435,3 +467,128 @@ def test_asof_join_tie_rule(spark, tmp_path):
         for r in con.execute(ORACLES["q_asof_join"]).fetchall()
     }
     assert oracle == got
+
+
+def test_incremental_index_crash_resume(spark, sf_dir, tmp_path):
+    """Kill the incremental LSH index at BOTH torn-commit points — after
+    the pairs materialization but before the bands commit (tick 2), and
+    between the bands and toks commits (tick 3) — then re-run each batch
+    (VERDICT r3 #6, mirroring test_mid_tick_crash_resume). The resumed
+    index must land identical manifests (tick/tag/snapshot_id/row_count)
+    and snapshot CONTENTS to an uninterrupted feed, and the union of pair
+    sets must match."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.plans import load
+    from cinescrapers_spark.plans.incremental import IncrementalNearDupIndex
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    batch = lambda t: docs.filter(F.pmod("doc_id", F.lit(3)) == t - 1)  # noqa: E731
+
+    a = IncrementalNearDupIndex(str(tmp_path / "a"))
+    pairs_a = set()
+    for t in (1, 2, 3):
+        pairs_a |= {tuple(r) for r in a.add_batch(batch(t), tick=t).collect()}
+
+    b = IncrementalNearDupIndex(str(tmp_path / "b"))
+    pairs_b = {tuple(r) for r in b.add_batch(batch(1), tick=1).collect()}
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("simulated crash")
+
+    # tick 2: crash BEFORE any commit (pairs were already materialized)
+    real_bands_commit = b.bands_table.commit
+    b.bands_table.commit = boom
+    with pytest.raises(RuntimeError):
+        b.add_batch(batch(2), tick=2)
+    b.bands_table.commit = real_bands_commit
+    assert b.bands_table.entry_for(2, "run") is None  # nothing landed
+    pairs_b |= {tuple(r) for r in b.add_batch(batch(2), tick=2).collect()}
+
+    # tick 3: crash BETWEEN the two commits (bands landed, toks did not)
+    real_toks_commit = b.toks_table.commit
+    b.toks_table.commit = boom
+    with pytest.raises(RuntimeError):
+        b.add_batch(batch(3), tick=3)
+    b.toks_table.commit = real_toks_commit
+    assert b.bands_table.entry_for(3, "run") is not None
+    assert b.toks_table.entry_for(3, "run") is None
+    pairs_b |= {tuple(r) for r in b.add_batch(batch(3), tick=3).collect()}
+
+    assert pairs_a == pairs_b, "crash-resume pair set diverged"
+    for table in ("bands_table", "toks_table"):
+        ma = [
+            {k: e[k] for k in ("tick", "tag", "snapshot_id", "row_count")}
+            for e in getattr(a, table).manifest()
+        ]
+        mb = [
+            {k: e[k] for k in ("tick", "tag", "snapshot_id", "row_count")}
+            for e in getattr(b, table).manifest()
+        ]
+        assert ma == mb, f"{table} manifests diverged after resume"
+        for ea, eb in zip(getattr(a, table).manifest(), getattr(b, table).manifest()):
+            ra = spark.read.parquet(getattr(a, table).snapshot_dir(ea["snapshot_id"]))
+            rb = spark.read.parquet(getattr(b, table).snapshot_dir(eb["snapshot_id"]))
+            sa = {tuple(map(str, r)) for r in ra.collect()}
+            sb = {tuple(map(str, r)) for r in rb.collect()}
+            assert sa == sb, f"{table} snapshot {ea['snapshot_id']} content diverged"
+
+
+def test_incremental_bucket_cap(spark, tmp_path):
+    """add_batch with a bucket cap must (a) equal batch lsh_candidate_pairs
+    semantics when the whole corpus arrives as one batch, (b) surface the
+    skipped-bucket count, and (c) still probe the capped index correctly
+    across batches — pairs inside healthy buckets survive, the mega-bucket
+    never goes quadratic (ADVICE r3: the incremental path previously
+    applied no cap at all)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cinescrapers_spark.plans.incremental import IncrementalNearDupIndex
+
+    rows = [
+        {"doc_id": i, "source": "s", "text": "the same boilerplate template text"}
+        for i in range(40)
+    ]
+    # the healthy pair must CLEAR the verify threshold (add_batch verifies,
+    # unlike lsh_candidate_pairs): 10 shared tokens of 11 each -> 10/12 = 0.833
+    base = "unique alpha beta gamma delta epsilon zeta eta theta iota"
+    rows += [
+        {"doc_id": 100, "source": "s", "text": base + " kappa"},
+        {"doc_id": 101, "source": "s", "text": base + " lamda"},
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+
+    # (a)+(b): single batch == batch-mode capped behavior
+    one = IncrementalNearDupIndex(str(tmp_path / "one"))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in one.add_batch(docs, tick=1, bucket_cap=10).collect()
+    }
+    assert got == {(100, 101)}, "capped single-batch run must keep healthy pairs only"
+    assert one.skipped_buckets_last_batch > 0
+
+    # (c): split feed — the mega-bucket spans batches; index-so-far sizes
+    # cross the cap and the stored-side probe must stay pruned
+    two = IncrementalNearDupIndex(str(tmp_path / "two"))
+    b1 = docs.filter("doc_id < 20 or doc_id = 100")
+    b2 = docs.filter("doc_id >= 20 and doc_id != 100")
+    p1 = {
+        (r.doc_a, r.doc_b)
+        for r in two.add_batch(b1, tick=1, bucket_cap=10).collect()
+    }
+    p2 = {
+        (r.doc_a, r.doc_b)
+        for r in two.add_batch(b2, tick=2, bucket_cap=10).collect()
+    }
+    assert two.skipped_buckets_last_batch > 0
+    assert p1 == set(), "batch-1 mega-bucket (20 docs > cap) must be skipped"
+    assert p2 == {(100, 101)}
+    # no cap → quadratic candidate set would have verified the boilerplate
+    # cluster as pairs; sanity-check the cap actually changed the outcome
+    unc = IncrementalNearDupIndex(str(tmp_path / "unc"))
+    all_pairs = {
+        (r.doc_a, r.doc_b) for r in unc.add_batch(docs, tick=1).collect()
+    }
+    assert len(all_pairs) == 40 * 39 // 2 + 1

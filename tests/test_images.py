@@ -381,3 +381,49 @@ def test_adpcm_codec_real_compression():
     for k in range(2):
         got = decode_video_frame(blob, w, h, k, "zrgb")
         assert got.tobytes() == frames[k]
+
+
+def test_native_kernels_equal_python():
+    """The lazily-compiled C kernels (images/_native.py) must reproduce the
+    pure-Python reference scans BYTE-EXACTLY on adversarial input — random
+    filtered bytes for all 5 PNG filter types (RGB and RGBA strides) and
+    random ADPCM nibble streams (VERDICT r3 #5: the C path is the harvest
+    hot path; the Python loops stay the semantics oracle)."""
+    from cinescrapers_spark.images._native import (
+        adpcm_decode,
+        native_lib,
+        png_unfilter_image,
+    )
+    from cinescrapers_spark.images.codecs import _png_unfilter_row
+    from cinescrapers_spark.images.multimodal import _decode_adpcm_py
+
+    if native_lib() is None:
+        pytest.skip("no C compiler in this environment; fallback covered elsewhere")
+
+    rng = np.random.default_rng(13)
+    for bpp, w, h in ((3, 61, 23), (4, 32, 17), (3, 1, 7)):
+        stride = w * bpp
+        raw = rng.integers(0, 256, (h, 1 + stride), dtype=np.uint8)
+        raw[:, 0] = rng.integers(0, 5, h)  # random filter type per row
+        got = png_unfilter_image(raw, h, stride, bpp)
+        prev = np.zeros(stride, dtype=np.uint8)
+        rows = []
+        for y in range(h):
+            prev = _png_unfilter_row(int(raw[y, 0]), raw[y, 1:].copy(), prev, bpp)
+            rows.append(prev)
+        want = np.stack(rows)
+        assert np.array_equal(got, want), f"PNG kernel diverged at bpp={bpp}"
+
+    # bad filter type surfaces as the same ValueError as the Python path
+    bad = rng.integers(0, 256, (3, 1 + 12), dtype=np.uint8)
+    bad[:, 0] = (0, 9, 1)
+    with pytest.raises(ValueError, match="filter type"):
+        png_unfilter_image(bad, 3, 12, 3)
+
+    for n in (1, 2, 7, 4096):
+        body = rng.integers(0, 256, (n + 1) // 2, dtype=np.uint8).tobytes()
+        pred0 = int(rng.integers(-32768, 32768))
+        idx0 = int(rng.integers(0, 89))
+        got = adpcm_decode(body, n, pred0, idx0)
+        want = _decode_adpcm_py(body, n, pred0, idx0)
+        assert np.array_equal(got, want), f"ADPCM kernel diverged at n={n}"

@@ -259,24 +259,19 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
             assert abs(r.cosine - exact_cos[(r.q_id, r.vec_id)]) < 1e-9
 
 
-def test_ann_ivf_clustered_corpus_lloyd(spark):
-    """On a genuinely clustered corpus, IVF recall must approach 1 —
-    and the Lloyd iterations must not degrade (and should sharpen) the
-    noisy per-label seed centroids. Near-uniform testdata cannot show cell
-    locality, so the corpus is generated in-repo: 8 well-separated 16-dim
-    clusters, labels = cluster id with 20% noise (the seed quantizer is
-    deliberately imperfect; k-means has to fix it)."""
+def _clustered_embeddings(spark, n_queries=5):
+    """In-repo clustered embeddings corpus: 8 well-separated 16-dim
+    clusters, labels = cluster id with 20% noise (the per-label seed
+    quantizer is deliberately imperfect; k-means has to fix it). Queries
+    (vec_id < n_queries, label -1) sit inside clusters 0..4."""
     import numpy as np
     import pandas as pd
-
-    from cinescrapers_spark.plans.similarity import ivf_topk
 
     rng = np.random.default_rng(7)
     k_clusters, dim, per = 8, 16, 50
     centers = rng.normal(0, 10.0, (k_clusters, dim))
     rows = []
-    n_queries = 5
-    for i in range(n_queries):  # queries sit inside clusters 0..4
+    for i in range(n_queries):
         v = centers[i] + rng.normal(0, 0.5, dim)
         rows.append({"vec_id": i, "label": -1, "embedding": [float(x) for x in v]})
     vid = n_queries
@@ -288,7 +283,18 @@ def test_ann_ivf_clustered_corpus_lloyd(spark):
                 {"vec_id": vid, "label": label, "embedding": [float(x) for x in v]}
             )
             vid += 1
-    emb = spark.createDataFrame(pd.DataFrame(rows))
+    return spark.createDataFrame(pd.DataFrame(rows)), k_clusters
+
+
+def test_ann_ivf_clustered_corpus_lloyd(spark):
+    """On a genuinely clustered corpus, IVF recall must approach 1 —
+    and the Lloyd iterations must not degrade (and should sharpen) the
+    noisy per-label seed centroids. Near-uniform testdata cannot show cell
+    locality, so the corpus is generated in-repo (_clustered_embeddings)."""
+    from cinescrapers_spark.plans.similarity import ivf_topk
+
+    emb, k_clusters = _clustered_embeddings(spark)
+    n_queries = 5
 
     exact = {
         (r.q_id, r.vec_id)
@@ -592,3 +598,111 @@ def test_incremental_bucket_cap(spark, tmp_path):
         (r.doc_a, r.doc_b) for r in unc.add_batch(docs, tick=1).collect()
     }
     assert len(all_pairs) == 40 * 39 // 2 + 1
+
+
+def test_incremental_ivf_equals_full_build(spark, tmp_path):
+    """Feeding the clustered corpus to the persisted IVF index in three
+    batches must reach the SAME recall (vs exact top-k) as the one-shot
+    full-build ivf_topk with the identical protocol (per-label seed +
+    2 Lloyd iterations, nprobe=2) — and a Lloyd refresh over the
+    accumulated corpus must not degrade it (VERDICT r3 #7)."""
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.plans.incremental_ivf import IncrementalIVFIndex
+    from cinescrapers_spark.plans.similarity import ivf_topk
+
+    emb, k_clusters = _clustered_embeddings(spark)
+    cand = emb.filter("vec_id >= 5")
+    queries = emb.filter("vec_id < 5").selectExpr("vec_id as q_id", "embedding")
+
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in ivf_topk(emb, nprobe=k_clusters, lloyd_iters=0).collect()
+    }  # probing ALL cells = brute force (re-rank is exact)
+    full = {
+        (r.q_id, r.vec_id) for r in ivf_topk(emb, nprobe=2, lloyd_iters=2).collect()
+    }
+    recall_full = len(exact & full) / len(exact)
+
+    idx = IncrementalIVFIndex(str(tmp_path / "ivf"), lloyd_iters=2)
+    for t in (1, 2, 3):
+        idx.add_batch(cand.filter(F.pmod("vec_id", F.lit(3)) == t - 1), tick=t)
+    inc = {(r.q_id, r.vec_id) for r in idx.search(queries, nprobe=2).collect()}
+    recall_inc = len(exact & inc) / len(exact)
+    assert recall_inc == recall_full, f"{recall_inc:.3f} != full {recall_full:.3f}"
+    assert recall_inc >= 0.9  # the clustered corpus must be near-perfect
+
+    # periodic Lloyd refresh: retrain on the accumulated corpus, compact
+    # the cell runs — recall must hold and reads must use the compaction
+    idx.refresh(spark, tick=4, lloyd_iters=1)
+    inc2 = {(r.q_id, r.vec_id) for r in idx.search(queries, nprobe=2).collect()}
+    assert len(exact & inc2) / len(exact) >= recall_inc - 1e-9
+    tags = [e.get("tag") for e in idx.cells_table.manifest()]
+    assert tags[-1] == "compact"
+    # post-compaction search sees each vector exactly once
+    per_q = idx.search(queries, nprobe=k_clusters, k=10**6)
+    counts = per_q.groupBy("q_id", "vec_id").count().filter("count > 1").count()
+    assert counts == 0
+
+
+def test_incremental_ivf_crash_resume(spark, tmp_path):
+    """Kill the IVF index at its torn-commit point — centroids committed,
+    cell run not — and at a clean pre-commit point, then re-run each
+    batch. The resumed index must land identical manifests and the same
+    search results as an uninterrupted feed; re-running a landed tick is
+    a no-op (commits idempotent per (tick, tag))."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.plans.incremental_ivf import IncrementalIVFIndex
+
+    emb, k_clusters = _clustered_embeddings(spark)
+    cand = emb.filter("vec_id >= 5")
+    queries = emb.filter("vec_id < 5").selectExpr("vec_id as q_id", "embedding")
+    batch = lambda t: cand.filter(F.pmod("vec_id", F.lit(3)) == t - 1)  # noqa: E731
+
+    a = IncrementalIVFIndex(str(tmp_path / "a"), lloyd_iters=1)
+    for t in (1, 2, 3):
+        a.add_batch(batch(t), tick=t)
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("simulated crash")
+
+    b = IncrementalIVFIndex(str(tmp_path / "b"), lloyd_iters=1)
+    # tick 1: crash BETWEEN the centroid commit and the cells commit —
+    # the torn state has a trained quantizer but no assignments
+    real_cells_commit = b.cells_table.commit
+    b.cells_table.commit = boom
+    with pytest.raises(RuntimeError):
+        b.add_batch(batch(1), tick=1)
+    b.cells_table.commit = real_cells_commit
+    assert b.cent_table.entry_for(1, "cent") is not None
+    assert b.cells_table.entry_for(1, "run") is None
+    b.add_batch(batch(1), tick=1)  # resume: skips the landed cent commit
+
+    # tick 2: crash BEFORE any commit
+    b.cells_table.commit = boom
+    with pytest.raises(RuntimeError):
+        b.add_batch(batch(2), tick=2)
+    b.cells_table.commit = real_cells_commit
+    assert b.cells_table.entry_for(2, "run") is None
+    b.add_batch(batch(2), tick=2)
+    b.add_batch(batch(3), tick=3)
+    # re-running a fully-landed tick is a no-op
+    n = len(b.cells_table.manifest())
+    b.add_batch(batch(3), tick=3)
+    assert len(b.cells_table.manifest()) == n
+
+    for table in ("cent_table", "cells_table"):
+        ma = [
+            {k: e[k] for k in ("tick", "tag", "snapshot_id", "row_count")}
+            for e in getattr(a, table).manifest()
+        ]
+        mb = [
+            {k: e[k] for k in ("tick", "tag", "snapshot_id", "row_count")}
+            for e in getattr(b, table).manifest()
+        ]
+        assert ma == mb, f"{table} manifests diverged after crash-resume"
+    sa = {tuple(r) for r in a.search(queries, nprobe=2).collect()}
+    sb = {tuple(r) for r in b.search(queries, nprobe=2).collect()}
+    assert sa == sb, "crash-resume search results diverged"

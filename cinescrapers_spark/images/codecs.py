@@ -12,8 +12,12 @@ three self-describing formats whose codecs are pure stdlib+numpy:
   input_hint's "PSNR ≥ 40 dB for lossy" invariant is genuinely exercised:
   step Q=4 bounds per-pixel error to ≤2 → PSNR ≥ ~46 dB.
 
-JPEG/GIF/WebP decode remains an honest ``NotImplementedError`` gate (their
-entropy coders need an image library this sandbox doesn't ship).
+GIF and JPEG are REAL too: ``images/gif.py`` (LZW entropy coder per the
+GIF89a spec, interlace + local-color-table decode, exact-palette encode)
+and ``images/jpeg.py`` (baseline ITU-T T.81: Huffman entropy coder,
+batched 8×8 DCT, 4:4:4/4:2:0, restart intervals). WebP decode remains an
+honest ``NotImplementedError`` gate (VP8 needs an arithmetic coder +
+predictor suite out of scope for this sandbox).
 
 Magic-byte sniffing clones the reference's validator semantics
 (``/root/reference/src/cinescrapers/__main__.py:260-281``: JPEG/PNG/GIF/
@@ -225,6 +229,14 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return encode_png(arr)
     if fmt == "qimg":
         return encode_qimg(arr)
+    if fmt == "gif":
+        from cinescrapers_spark.images.gif import encode_gif
+
+        return encode_gif(arr)
+    if fmt == "jpeg":
+        from cinescrapers_spark.images.jpeg import encode_jpeg
+
+        return encode_jpeg(arr)
     raise NotImplementedError(f"no encoder for fmt={fmt!r} in sandbox")
 
 
@@ -236,6 +248,14 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_png(data)
     if kind == "qimg":
         return decode_qimg(data)
+    if kind == "gif":
+        from cinescrapers_spark.images.gif import decode_gif
+
+        return decode_gif(data)
+    if kind == "jpeg":
+        from cinescrapers_spark.images.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
         f"decoder for {kind!r} needs an image library not present in this "
         "environment; the Spark plumbing (schema/batching) is format-agnostic"

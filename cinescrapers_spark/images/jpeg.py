@@ -1,0 +1,573 @@
+"""Baseline JPEG codec — pure stdlib+numpy, written from the public spec
+(ITU-T T.81 / ISO 10918-1; quantization + Huffman tables from Annex K,
+quality scaling per the public IJG formula).
+
+Closes the round-3 "entropy-coded codecs remain honest gates" item for
+JPEG: a REAL entropy coder (canonical Huffman, DC prediction, AC
+run-length with ZRL/EOB, byte stuffing, restart markers) over a real
+transform (8×8 DCT-II, batched as one numpy tensordot per component —
+the per-block math never loops in Python; only the inherently sequential
+bit-level Huffman scan does, per SYMBOL not per pixel).
+
+Decoder (foreign-input path): baseline sequential DCT (SOF0), grayscale
+or YCbCr, ANY h/v sampling factors ≤ 2 (4:4:4, 4:2:2, 4:2:0 — MCU
+interleaving per the spec), DRI/RSTn restart intervals, stuffed bytes,
+APPn/COM skipping. Progressive (SOF2) raises — honest about the subset.
+
+Encoder: 4:4:4 YCbCr baseline with the Annex K tables scaled by the IJG
+quality formula and the Annex K "typical" Huffman tables. Decode parity
+is gated coefficient-exactly against an independent per-block
+quantize/dequantize reference in tests, plus a hand-packed spec golden.
+
+The reference only sniffs JPEG magic bytes
+(``/root/reference/src/cinescrapers/__main__.py:260-281``); full decode
+parity is beyond it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# constant tables (ITU-T T.81 Annex K — public spec data)
+# --------------------------------------------------------------------------
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)  # natural index of the k-th zigzag position (Figure A.6)
+
+_QL_BASE = np.array(  # Table K.1 (luminance), natural order
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+)
+_QC_BASE = np.array(  # Table K.2 (chrominance), natural order
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+)
+
+# Annex K.3 "typical" Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal DCT-II basis: C[u, x] = a(u) cos((2x+1)uπ/16)
+_DCT = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def quality_tables(quality: int = 75) -> tuple[np.ndarray, np.ndarray]:
+    """Annex K tables scaled by the public IJG quality formula (1..100)."""
+    q = min(100, max(1, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QL_BASE, _QC_BASE):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+# --------------------------------------------------------------------------
+# Huffman machinery (canonical codes from (BITS, HUFFVAL) per Annex C)
+# --------------------------------------------------------------------------
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol."""
+    return {(ln, c): s for s, (c, ln) in _build_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment; un-stuffs FF00 and
+    stops at any other marker (exposing it to the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.marker is not None:
+            return False
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt  # real marker: stop feeding bits
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def bit(self) -> int:
+        if self.n == 0 and not self._fill():
+            return 0  # spec: missing bits past a marker read as 0 padding
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def sync_to_marker(self) -> int | None:
+        """Discard bits; return the pending marker byte (after 0xFF)."""
+        self.acc = 0
+        self.n = 0
+        while self.marker is None and self.pos < len(self.data):
+            if (
+                self.data[self.pos] == 0xFF
+                and self.pos + 1 < len(self.data)
+                and self.data[self.pos + 1] != 0x00
+            ):
+                self.marker = self.data[self.pos + 1]
+                break
+            self.pos += 1
+        return self.marker
+
+    def consume_marker(self) -> None:
+        self.pos += 2
+        self.marker = None
+
+
+def _extend(v: int, size: int) -> int:
+    """DC/AC magnitude decode (spec F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# --------------------------------------------------------------------------
+# encode
+# --------------------------------------------------------------------------
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    f = arr.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _blockize(plane: np.ndarray) -> np.ndarray:
+    """(H, W) → (n_blocks, 8, 8), edge-replicated to multiples of 8,
+    blocks in raster order."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = p.shape[0] // 8, p.shape[1] // 8
+    return p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8), bh, bw
+
+
+def _quantize_plane(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Level-shift, batched DCT, quantize → (n_blocks, 64) int32 in
+    NATURAL order."""
+    blocks, _, _ = _blockize(plane.astype(np.float64) - 128.0)
+    coeff = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
+    q = np.round(coeff / qt.reshape(8, 8)).astype(np.int32)
+    return q.reshape(-1, 64)
+
+
+def _encode_block(bw: "_BitWriter", blk: np.ndarray, pred: int, dc, ac) -> int:
+    """Huffman-encode one zigzag-ordered quantized block; returns new DC
+    predictor."""
+    diff = int(blk[0]) - pred
+    s = _category(diff)
+    code, ln = dc[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = np.nonzero(blk[1:])[0]
+    last = last_nz[-1] + 1 if last_nz.size else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac[run * 16 + s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac[0x00]  # EOB
+        bw.write(code, ln)
+    return int(blk[0])
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (Annex K Huffman tables,
+    IJG quality scaling). ``subsampling`` "444" or "420" (2×2-averaged
+    chroma); ``restart_interval`` > 0 emits DRI + RSTn every that many
+    MCUs (what a streaming encoder does for error resilience)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    assert subsampling in ("444", "420")
+    ql, qc = quality_tables(quality)
+    ycc = _rgb_to_ycbcr(arr)
+    ysamp = (2, 2) if subsampling == "420" else (1, 1)
+    hmax, vmax = ysamp
+    # pad the image to full MCUs so every component's plane blockizes to
+    # exactly (mcuy*v, mcux*h) blocks
+    mw, mh = 8 * hmax, 8 * vmax
+    pad_h, pad_w = -h % mh, -w % mw
+    ycc = np.pad(ycc, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    if subsampling == "420":
+        for i in (1, 2):
+            p = planes[i]
+            planes[i] = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+    qts = [ql, qc, qc]
+    samps = [ysamp, (1, 1), (1, 1)]
+    coeffs = []
+    widths = []
+    for p, qt in zip(planes, qts):
+        q = _quantize_plane(p, qt)
+        coeffs.append(q)
+        widths.append(p.shape[1] // 8)
+    mcux = planes[0].shape[1] // mw
+    mcuy = planes[0].shape[0] // mh
+
+    dc_codes = [_build_codes(*_DC_LUM), _build_codes(*_DC_CHROM)]
+    ac_codes = [_build_codes(*_AC_LUM), _build_codes(*_AC_CHROM)]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    entropy = bytearray()
+    rst = 0
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                entropy += bw.flush()
+                bw = _BitWriter()
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            for ci in range(3):
+                sh, sv = samps[ci]
+                tsel = 0 if ci == 0 else 1
+                for by in range(sv):
+                    for bx in range(sh):
+                        row = (my * sv + by) * widths[ci] + (mx * sh + bx)
+                        blk = coeffs[ci][row][ZIGZAG]
+                        pred[ci] = _encode_block(
+                            bw, blk, pred[ci], dc_codes[tsel], ac_codes[tsel]
+                        )
+            mcu_i += 1
+    entropy += bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(ql[ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, b"\x01" + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (sh, sv), qsel in ((1, ysamp, 0), (2, (1, 1), 1), (3, (1, 1), 1)):
+        sof += bytes([cid, sh * 16 + sv, qsel])
+    out += seg(0xC0, sof)
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUM), (0, 1, _DC_CHROM), (1, 0, _AC_LUM), (1, 1, _AC_CHROM)
+    ):
+        out += seg(0xC4, bytes([cls * 16 + tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (grayscale replicated).
+    Sampling factors ≤ 2 per axis, restart intervals, stuffed bytes."""
+    assert data[:2] == b"\xff\xd8", "not a jpeg"
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        while data[pos + 1] == 0xFF:  # optional fill bytes before a marker
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bp = 0
+            while bp < len(body):
+                prec, tid = body[bp] >> 4, body[bp] & 0xF
+                bp += 1
+                if prec:
+                    t = np.frombuffer(body, ">u2", 64, bp).astype(np.int32)
+                    bp += 128
+                else:
+                    t = np.frombuffer(body, np.uint8, 64, bp).astype(np.int32)
+                    bp += 64
+                nat = np.empty(64, np.int32)
+                nat[ZIGZAG] = t  # stored zigzag → natural
+                qtables[tid] = nat
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                cls, tid = body[bp] >> 4, body[bp] & 0xF
+                bits = list(body[bp + 1 : bp + 17])
+                n = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + n])
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = _build_decoder(bits, vals)
+                bp += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("JPEG subset: 8-bit precision only")
+            for i in range(nc):
+                cid, samp, qsel = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0xF, "q": qsel}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"JPEG subset: baseline sequential only (SOF 0x{marker:02x})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tsel = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan.append((comp, tsel >> 4, tsel & 0xF))
+            pos += seglen
+            return _decode_scan(
+                data, pos, h, w, scan, qtables, dc_tabs, ac_tabs, restart
+            )
+        pos += seglen
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(data, pos, h, w, scan, qtables, dc_tabs, ac_tabs, restart):
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per component: coefficient store (natural order), one row per block
+    store = []
+    for comp, _, _ in scan:
+        bw_ = mcux * comp["h"]
+        bh_ = mcuy * comp["v"]
+        store.append(np.zeros((bh_ * bw_, 64), np.int32))
+    rd = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                m = rd.sync_to_marker()
+                if m is not None and 0xD0 <= m <= 0xD7:
+                    rd.consume_marker()
+                pred = [0] * len(scan)
+            for si, (comp, dct, act) in enumerate(scan):
+                dtab, atab = dc_tabs[dct], ac_tabs[act]
+                bw_ = mcux * comp["h"]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blk = np.zeros(64, np.int32)
+                        s = rd.huff(dtab)
+                        diff = _extend(rd.bits(s), s) if s else 0
+                        pred[si] += diff
+                        blk[0] = pred[si]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(atab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            blk[ZIGZAG[k]] = _extend(rd.bits(s), s)
+                            k += 1
+                        row = (my * comp["v"] + by) * bw_ + (mx * comp["h"] + bx)
+                        store[si][row] = blk
+            mcu_i += 1
+
+    # batched dequantize + IDCT + reassemble per component
+    planes = []
+    for si, (comp, _, _) in enumerate(scan):
+        qt = qtables[comp["q"]].astype(np.float64)
+        coeff = store[si].reshape(-1, 8, 8) * qt.reshape(8, 8)
+        pix = np.einsum("xu,nuv,yv->nxy", _DCT.T, coeff, _DCT.T) + 128.0
+        bw_ = mcux * comp["h"]
+        bh_ = mcuy * comp["v"]
+        plane = (
+            pix.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+        )
+        # upsample to full MCU grid resolution, then crop to (h, w)
+        plane = np.repeat(
+            np.repeat(plane, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -174,6 +174,24 @@ def thumbnail_udf(data: pd.Series, fmt: pd.Series) -> pd.Series:
     return pd.Series(out, index=data.index, dtype=object)
 
 
+@lazy_pandas_udf("binary")
+def thumbnail_jpeg_udf(data: pd.Series, fmt: pd.Series) -> pd.Series:
+    """bytes → 64×64 JPEG thumbnail bytes — the reference's actual sink
+    format (thumbnailing.py:58-97 saves JPEG), now a real encode via
+    images/jpeg.py. ~10× smaller than the ppm path, which matters at the
+    blob-cache sink: thumbnail bytes dominate its volume at 100 TB."""
+    from cinescrapers_spark.images.jpeg import encode_jpeg
+
+    out = []
+    for d, f in zip(data, fmt):
+        if d is None:
+            out.append(None)
+            continue
+        thumb, _ = smart_square_thumbnail(decode_image(bytes(d), f), 64)
+        out.append(encode_jpeg(thumb, quality=90))
+    return pd.Series(out, index=data.index, dtype=object)
+
+
 # --------------------------------------------------------------------------
 # deterministic stand-in embedders (replace CLIP/MiniLM,
 # ref film_identification.py:83-108, keeping ArrayType(float) shape)

@@ -63,7 +63,16 @@ def make_pixels(rng: random.Random, w: int, h: int) -> np.ndarray:
     return arr
 
 
-def generate_images_pdf(n: int = 200, seed: int = 42) -> pd.DataFrame:
+DEFAULT_FORMATS = ("qimg", "ppm", "png")
+
+
+def generate_images_pdf(
+    n: int = 200, seed: int = 42, formats: tuple[str, ...] = DEFAULT_FORMATS
+) -> pd.DataFrame:
+    """``formats`` picks the corpus codec mix (uniform over the tuple).
+    The default tuple reproduces the historical byte-exact fixtures; pass
+    e.g. ("qimg", "ppm", "png", "jpeg") to exercise the entropy-coded
+    decoders through the same harvest plumbing."""
     rng = random.Random(seed)
     rows = []
     for i in range(n):
@@ -71,7 +80,7 @@ def generate_images_pdf(n: int = 200, seed: int = 42) -> pd.DataFrame:
         h = rng.choice(SIZES)  # independent → non-square mixes
         arr = make_pixels(rng, w, h)
         r = rng.random()
-        fmt = "qimg" if r < 1 / 3 else ("ppm" if r < 2 / 3 else "png")
+        fmt = formats[min(int(r * len(formats)), len(formats) - 1)]
         data = encode_image(arr, fmt)
         caption = CAPTION_VOCAB[i % len(CAPTION_VOCAB)]
         image_src = f"https://img.example.com/poster/{i}.{fmt}"

@@ -54,14 +54,15 @@ def attach_thumbnails(enriched: DataFrame, images: DataFrame) -> DataFrame:
 
 
 def thumbnail_blobs(images: DataFrame) -> DataFrame:
-    """Materialize the thumbnail blob sink: content-addressed 64×64 ppm
+    """Materialize the thumbnail blob sink: content-addressed 64×64 JPEG
     thumbnails for every image row (the reference's thumbnails folder,
-    __main__.py:26-28, as a binary-column table)."""
-    from cinescrapers_spark.images.ops import thumbnail_udf
+    __main__.py:26-28, as a binary-column table; the reference saves
+    JPEG, thumbnailing.py:58-97 — real encode via images/jpeg.py)."""
+    from cinescrapers_spark.images.ops import thumbnail_jpeg_udf
 
     return images.select(
         F.concat(F.lit("thumb-"), F.col("image_id")).alias("thumb_id"),
-        thumbnail_udf(F.col("bytes"), F.col("fmt")).alias("thumb_bytes"),
+        thumbnail_jpeg_udf(F.col("bytes"), F.col("fmt")).alias("thumb_bytes"),
     )
 
 

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from cinescrapers_spark.dims import CINEMA_SITES
 from cinescrapers_spark.functions.hashing import get_hashed_py
-from cinescrapers_spark.images.codecs import decode_ppm, encode_qimg
+from cinescrapers_spark.images.codecs import encode_qimg
 from cinescrapers_spark.images.ops import phash64
 from cinescrapers_spark.images.table import make_pixels
 from cinescrapers_spark.schemas import IMAGES, PAGE
@@ -82,7 +82,12 @@ def test_thumbnail_blob_sink(spark, lifecycle):
     store, images_df, srcs, _ = lifecycle
     blobs = thumbnail_blobs(images_df).collect()
     assert blobs
+    from cinescrapers_spark.images.codecs import sniff_format
+    from cinescrapers_spark.images.jpeg import decode_jpeg
+
     for b in blobs:
         assert b.thumb_id.startswith("thumb-")
-        thumb = decode_ppm(bytes(b.thumb_bytes))
+        # the sink format is JPEG like the reference's thumbnails folder
+        assert sniff_format(bytes(b.thumb_bytes)) == "jpeg"
+        thumb = decode_jpeg(bytes(b.thumb_bytes))
         assert thumb.shape == (64, 64, 3)  # the reference's size×size invariant

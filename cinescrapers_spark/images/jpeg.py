@@ -433,6 +433,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
+    dc_raw: dict[int, tuple] = {}
+    ac_raw: dict[int, tuple] = {}
     comps: list[dict] = []
     h = w = 0
     restart = 0
@@ -471,6 +473,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 vals = list(body[bp + 17 : bp + 17 + n])
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = _build_decoder(bits, vals)
+                (dc_raw if cls == 0 else ac_raw)[tid] = (bits, vals)
                 bp += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -496,18 +499,62 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 scan.append((comp, tsel >> 4, tsel & 0xF))
             pos += seglen
             return _decode_scan(
-                data, pos, h, w, scan, qtables, dc_tabs, ac_tabs, restart
+                data, pos, h, w, scan, qtables, dc_tabs, ac_tabs, restart,
+                dc_raw, ac_raw,
             )
         pos += seglen
     raise ValueError("JPEG has no SOS scan")
 
 
-def _decode_scan(data, pos, h, w, scan, qtables, dc_tabs, ac_tabs, restart):
+def _decode_scan(
+    data, pos, h, w, scan, qtables, dc_tabs, ac_tabs, restart,
+    dc_raw=None, ac_raw=None,
+):
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    # per component: coefficient store (natural order), one row per block
+    store = _native_scan(
+        data, pos, scan, mcux, mcuy, restart, dc_raw, ac_raw
+    )
+    if store is None:
+        store = _python_scan(data, pos, scan, mcux, mcuy, restart, dc_tabs, ac_tabs)
+    return _reconstruct(store, scan, qtables, h, w, hmax, vmax, mcux, mcuy)
+
+
+def _native_scan(data, pos, scan, mcux, mcuy, restart, dc_raw, ac_raw):
+    """Try the C Huffman-scan kernel (images/_native.py): the bit-level
+    entropy decode is the one inherently sequential Python loop in this
+    codec, ~100× in C. Returns per-component (n_blocks, 64) int32 stores
+    or None (no compiler / >4 components / table ids beyond slots)."""
+    if dc_raw is None or ac_raw is None or len(scan) > 4:
+        return None
+    ids_ok = all(
+        0 <= dct <= 3 and 0 <= act <= 3 and dct in dc_raw and act in ac_raw
+        for _, dct, act in scan
+    )
+    if not ids_ok:
+        return None
+    from cinescrapers_spark.images._native import jpeg_decode_scan
+
+    bits8 = np.zeros((8, 16), np.uint8)
+    vals8 = np.zeros((8, 256), np.uint8)
+    for tid, (bits, vals) in dc_raw.items():
+        bits8[tid, :] = bits
+        vals8[tid, : len(vals)] = vals
+    for tid, (bits, vals) in ac_raw.items():
+        bits8[4 + tid, :] = bits
+        vals8[4 + tid, : len(vals)] = vals
+    meta = [(c["h"], c["v"], dct, 4 + act) for c, dct, act in scan]
+    return jpeg_decode_scan(
+        data, pos, meta, mcux, mcuy, restart, bits8, vals8
+    )
+
+
+def _python_scan(data, pos, scan, mcux, mcuy, restart, dc_tabs, ac_tabs):
+    """Reference pure-Python entropy scan (the semantics oracle for the C
+    kernel, equality-gated in tests) — per component: coefficient store
+    (natural order), one row per block."""
     store = []
     for comp, _, _ in scan:
         bw_ = mcux * comp["h"]
@@ -550,8 +597,11 @@ def _decode_scan(data, pos, h, w, scan, qtables, dc_tabs, ac_tabs, restart):
                         row = (my * comp["v"] + by) * bw_ + (mx * comp["h"] + bx)
                         store[si][row] = blk
             mcu_i += 1
+    return store
 
-    # batched dequantize + IDCT + reassemble per component
+
+def _reconstruct(store, scan, qtables, h, w, hmax, vmax, mcux, mcuy):
+    """Batched dequantize + IDCT + reassemble per component."""
     planes = []
     for si, (comp, _, _) in enumerate(scan):
         qt = qtables[comp["q"]].astype(np.float64)

@@ -132,6 +132,76 @@ def main():
         assert np.array_equal(want_a, got_ca)
         res["adpcm_c_kernel_sec"] = round(t_ca, 5)
         res["adpcm_c_speedup"] = round(t_r3a / t_ca, 1)
+
+    # --- round-4 entropy decoders: GIF LZW + baseline JPEG scan --------
+    from cinescrapers_spark.images import jpeg as jpeg_mod
+    from cinescrapers_spark.images._native import gif_lzw_decode as native_lzw
+    from cinescrapers_spark.images.gif import (
+        _lzw_decode,
+        decode_gif,
+        encode_gif,
+    )
+    from cinescrapers_spark.images.jpeg import decode_jpeg, encode_jpeg
+
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    gimg = pal[rng.integers(0, 16, (256, 512))]
+    gblob = encode_gif(gimg)
+    # isolate the LZW stage (container parse is trivial)
+    from cinescrapers_spark.images.gif import _read_sub_blocks
+
+    # image descriptor offset: header(6) + LSD(7) + global color table
+    pos = 13 + 3 * (2 << (gblob[10] & 0x07))
+    assert gblob[pos] == 0x2C
+    mcs = gblob[pos + 10]
+    stream, _ = _read_sub_blocks(gblob, pos + 11)
+    npx = 256 * 512
+    t_lzw_py, want_g = bench(lambda: _lzw_decode(stream, mcs, npx), 3)
+    res.update(
+        {
+            "gif_fixture": "256x512, 16-color noise (dictionary saturates)",
+            "gif_lzw_py_sec": round(t_lzw_py, 4),
+            "gif_stream_bytes": len(stream),
+        }
+    )
+    if native_lib() is not None:
+        t_lzw_c, got_g = bench(lambda: native_lzw(stream, mcs, npx), 10)
+        assert got_g == want_g
+        res["gif_lzw_c_sec"] = round(t_lzw_c, 5)
+        res["gif_lzw_c_speedup"] = round(t_lzw_py / t_lzw_c, 1)
+        t_gif_full, _ = bench(lambda: decode_gif(gblob), 5)
+        res["gif_decode_c_images_per_sec_1core"] = round(1.0 / t_gif_full, 1)
+
+    yy, xx = np.mgrid[0:256, 0:512]
+    jimg = np.clip(
+        np.stack([xx * 255 / 512, yy * 255 / 256, (xx + yy) * 255 / 768], axis=-1)
+        + rng.integers(-15, 15, (256, 512, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    jblob = encode_jpeg(jimg, 85)
+    real_native = jpeg_mod._native_scan
+
+    def decode_py():
+        jpeg_mod._native_scan = lambda *a, **k: None
+        try:
+            return decode_jpeg(jblob)
+        finally:
+            jpeg_mod._native_scan = real_native
+
+    t_j_py, want_j = bench(decode_py, 2)
+    res.update(
+        {
+            "jpeg_fixture": "256x512 q85 4:4:4, gradient+noise",
+            "jpeg_bytes": len(jblob),
+            "jpeg_scan_py_sec": round(t_j_py, 4),
+        }
+    )
+    if native_lib() is not None:
+        t_j_c, got_j = bench(lambda: decode_jpeg(jblob), 5)
+        assert np.array_equal(want_j, got_j)
+        res["jpeg_decode_c_sec"] = round(t_j_c, 5)
+        res["jpeg_scan_c_speedup"] = round(t_j_py / t_j_c, 1)
+        res["jpeg_decode_c_images_per_sec_1core"] = round(1.0 / t_j_c, 1)
     print(json.dumps(res))
 
 

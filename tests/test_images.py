@@ -725,3 +725,51 @@ def test_generator_jpeg_mix_invariants():
     assert all(
         bytes(x) == bytes(y) for x, y in zip(a["bytes"], b["bytes"])
     ), "default mix must remain byte-identical"
+
+
+def test_native_entropy_kernels_equal_python():
+    """The C entropy kernels (GIF LZW, JPEG Huffman scan) must reproduce
+    the pure-Python reference scans EXACTLY — adversarial LZW streams
+    across code sizes (including a forced 4096-entry reset) and JPEG
+    scans across subsampling/restart configs (the round-4 follow-up to
+    the PNG/ADPCM kernel gates)."""
+    from cinescrapers_spark.images import jpeg as jpeg_mod
+    from cinescrapers_spark.images._native import gif_lzw_decode, native_lib
+    from cinescrapers_spark.images.gif import _lzw_decode, _lzw_encode
+    from cinescrapers_spark.images.jpeg import decode_jpeg, encode_jpeg
+
+    if native_lib() is None:
+        pytest.skip("no C compiler in this environment; fallback covered elsewhere")
+
+    rng = np.random.default_rng(3)
+    for mcs, n in ((2, 1), (2, 50), (4, 5000), (7, 60000)):
+        idx = rng.integers(0, 1 << mcs, n, dtype=np.uint8).tobytes()
+        stream = _lzw_encode(idx, mcs)
+        assert gif_lzw_decode(stream, mcs, n) == _lzw_decode(stream, mcs, n) == idx
+    # truncated stream errors the same way as the Python scan
+    idx = rng.integers(0, 4, 100, dtype=np.uint8).tobytes()
+    half = _lzw_encode(idx, 2)[:4]
+    with pytest.raises(ValueError, match="GIF LZW"):
+        gif_lzw_decode(half, 2, 100)
+
+    img = _jpeg_gradient(48, 64)
+    noisy = np.clip(
+        img.astype(int) + rng.integers(-25, 25, img.shape), 0, 255
+    ).astype(np.uint8)
+    configs = [
+        {},
+        {"subsampling": "420"},
+        {"restart_interval": 3},
+        {"subsampling": "420", "restart_interval": 2},
+    ]
+    real_native = jpeg_mod._native_scan
+    for src in (img, noisy):
+        for kw in configs:
+            blob = encode_jpeg(src, 85, **kw)
+            got_c = decode_jpeg(blob)
+            jpeg_mod._native_scan = lambda *a, **k: None
+            try:
+                got_py = decode_jpeg(blob)
+            finally:
+                jpeg_mod._native_scan = real_native
+            assert np.array_equal(got_c, got_py), f"scan kernel diverged: {kw}"

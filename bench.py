@@ -9,9 +9,10 @@ Progressive output is the round-4 fix for BENCH_r03.json rc=124/parsed:null
 (VERDICT r3 #1): the headline numbers print ~1 min in, and each completed
 frontier/parse round re-prints the enriched object immediately, so a
 harness timeout at ANY point still yields every measurement finished by
-then. The default configuration is additionally budgeted to ~15-18 min
-wall (BENCH_URLS 150k — the N-side crawl wall is linear in input — and 2
-interleaved parse rounds), well inside the harness limit.
+then. The default configuration is additionally budgeted to ~30 min wall
+(page budget 200 per tick — the budget, not input size, sets the crawl
+wall — 2-rep parse kernels, 1 parse round with an automatic second on a
+gate miss; measured phase walls in BASELINE.md §D-1).
 
 Three parts:
 1. Headline relational queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
@@ -42,13 +43,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # pinned inside the driver's correctness window (plans/__init__.py)
 from cinescrapers_spark.plans import HEADLINE_QUERIES as HEADLINE  # noqa: E402
 
-# 150k (was 300k in round 3): the N-side crawl wall is linear in input
-# (~275 s/round at 150k) and the round-3 default blew the harness bench
-# timeout. The ratio is input-stable in the measured range (BASELINE.md
-# §C); 300k remains one env var away for recorded deep runs.
+# 150k URLs, TWO measured ticks, per-tick page budget 200. Round-4 wall
+# calibration (bench_runs/round4/): the crawl wall is FLAT in input size
+# (budgeted pages → outlinks → dedup dominate; 150k and 300k both
+# measure ~275 s/tick on the N side at budget 300) and roughly linear in
+# the page budget, so the budget — not the URL count — is the wall
+# lever. Ticks stay at 2 because tick 1 is schedule-only while tick 2
+# carries the steady-state outlink-dedup load the north rule is about:
+# a 1-tick variant measured ratios 0.74-0.81 (4N walls ~40 s, fixed-
+# cost-dominated) vs 0.96-1.14 for the same engine at 2 ticks
+# (bench_full_deep_2tick3rep.json). Budget 200 keeps the tick-2 shape at
+# ~2/3 volume: ~19 min frontier, ~30 min total; every completed phase is
+# emitted progressively so a harness timeout keeps it.
 BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "150000"))
 BENCH_TICKS = int(os.environ.get("SPARK_GRAFT_BENCH_TICKS", "2"))
-BENCH_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300"))
+BENCH_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "200"))
 # N vs 4N = 1 vs 4 executor JVMs × 1 core. The narrowest literal reading
 # of the north rule's "N and 4N executors", chosen because it sits
 # DEEPEST inside this VM's real CPU capacity: the 32 vCPUs are backed by
@@ -91,6 +100,8 @@ def host_capacity_ratio(n: int = BENCH_N, n4: int = BENCH_4N) -> tuple:
     spare cycles drift over tens of minutes; co-measuring capacity next to
     each Spark round separates the ENGINE's scaling from the machine's.
     Returns (mops_at_N, mops_at_4N, capacity_efficiency)."""
+    # ~5 s at 1 proc: long enough that pool startup doesn't dominate the
+    # 4N side (a 24M variant measured ±15% probe noise — too short)
     N_OPS = 60_000_000
     rates = {}
     for nproc in (n, n4):
@@ -121,10 +132,12 @@ def run_crawl_bench(cpus: int) -> dict:
 # the single 6g executor on the N side degrades under 1.2M cached rows and
 # the ratio goes superlinear (memory pressure, not engine scaling).
 PARSE_URLS = int(os.environ.get("SPARK_GRAFT_PARSE_URLS", "600000"))
-# 2 interleaved rounds by default (was 3 in round 3 — part of the timeout):
-# the headline ratio is the conservative LOWER of two; a third round runs
-# only when either round misses the 0.8 gate, mirroring the crawl rule.
-PARSE_ROUNDS = int(os.environ.get("SPARK_GRAFT_PARSE_ROUNDS", "2"))
+# 1 round by default (round 4; each parse pair costs ~7 min at 600k —
+# the 3-round × 3-rep worst case was ~36 min alone): a second round runs
+# automatically when the first misses the 0.8 gate, and the headline is
+# then the conservative LOWER median across rounds. Raise the env var
+# for recorded deep runs.
+PARSE_ROUNDS = int(os.environ.get("SPARK_GRAFT_PARSE_ROUNDS", "1"))
 
 
 def run_parse_bench(cpus: int) -> dict:

@@ -51,6 +51,18 @@ from cinescrapers_spark.schemas import IMAGES
 CARD_SCHEMA = "url string, caption string, url_hash long"
 
 
+def _harvest_formats() -> tuple[str, ...]:
+    """Corpus codec mix for the synthetic fetch stand-in. The default
+    reproduces the historical byte-exact fixtures; set
+    CINESCRAPERS_HARVEST_FORMATS=qimg,ppm,png,jpeg to exercise the
+    entropy codecs through the full harvest path (bench use)."""
+    import os
+
+    return tuple(
+        os.environ.get("CINESCRAPERS_HARVEST_FORMATS", "qimg,ppm,png").split(",")
+    )
+
+
 def synth_pixels(image_url: str):
     """Deterministic ground-truth pixels for an image URL — the sandbox's
     stand-in for GET+decode. Pure function of the URL (seeded RNG), reusing
@@ -63,7 +75,8 @@ def synth_pixels(image_url: str):
     h = rng.choice(SIZES)
     arr = make_pixels(rng, w, h)
     r = rng.random()
-    fmt = "qimg" if r < 1 / 3 else ("ppm" if r < 2 / 3 else "png")
+    formats = _harvest_formats()
+    fmt = formats[min(int(r * len(formats)), len(formats) - 1)]
     return arr, w, h, fmt
 
 

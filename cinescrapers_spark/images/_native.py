@@ -247,6 +247,86 @@ static int jext(int v, int s) {
     return (v >= (1 << (s - 1))) ? v : v - (1 << s) + 1;
 }
 
+/* Baseline JPEG entropy ENCODE (mirror of the scan decoder): quantized
+   ZIGZAG-order blocks in emission order -> stuffed bitstream, final
+   flush padded with 1-bits. No restart support (caller falls back).
+   blocks: n x 64 int32. pred_slot/dc_slot/ac_slot: per-block u8 (DC
+   predictor 0..3; table slots into codes/lens, 4 x 256 u16/u8).
+   Returns bytes written, or -1 if cap would overflow. */
+static int jcat(int v) {
+    int a = v < 0 ? -v : v, s = 0;
+    while (a) { s++; a >>= 1; }
+    return s;
+}
+
+typedef struct {
+    unsigned char *out;
+    long pos, cap;
+    unsigned int acc;
+    int n;
+} jwr;
+
+static int jw_put(jwr *w, int code, int len) {
+    w->acc = (w->acc << len) | ((unsigned int)code & ((1u << len) - 1));
+    w->n += len;
+    while (w->n >= 8) {
+        unsigned char b = (unsigned char)(w->acc >> (w->n - 8));
+        if (w->pos + 2 > w->cap) return -1;
+        w->out[w->pos++] = b;
+        if (b == 0xFF) w->out[w->pos++] = 0x00;
+        w->n -= 8;
+        w->acc &= (1u << w->n) - 1;
+    }
+    return 0;
+}
+
+long jpeg_encode_blocks(const int *blocks, long n_blocks,
+                        const unsigned char *pred_slot,
+                        const unsigned char *dc_slot,
+                        const unsigned char *ac_slot,
+                        const unsigned short *codes,
+                        const unsigned char *lens, unsigned char *out,
+                        long cap) {
+    jwr w;
+    int pred[4] = {0, 0, 0, 0};
+    long b;
+    w.out = out; w.pos = 0; w.cap = cap; w.acc = 0; w.n = 0;
+    for (b = 0; b < n_blocks; b++) {
+        const int *blk = blocks + b * 64;
+        const unsigned short *dc = codes + dc_slot[b] * 256;
+        const unsigned char *dl = lens + dc_slot[b] * 256;
+        const unsigned short *ac = codes + ac_slot[b] * 256;
+        const unsigned char *al = lens + ac_slot[b] * 256;
+        int ps = pred_slot[b];
+        int diff = blk[0] - pred[ps];
+        int s = jcat(diff), k, run = 0, last = 0;
+        pred[ps] = blk[0];
+        if (jw_put(&w, dc[s], dl[s])) return -1;
+        if (s && jw_put(&w, diff >= 0 ? diff : diff + (1 << s) - 1, s))
+            return -1;
+        for (k = 63; k >= 1; k--)
+            if (blk[k]) { last = k; break; }
+        for (k = 1; k <= last; k++) {
+            int v = blk[k], s2;
+            if (v == 0) { run++; continue; }
+            while (run > 15) {
+                if (jw_put(&w, ac[0xF0], al[0xF0])) return -1;
+                run -= 16;
+            }
+            s2 = jcat(v);
+            if (jw_put(&w, ac[run * 16 + s2], al[run * 16 + s2])) return -1;
+            if (jw_put(&w, v >= 0 ? v : v + (1 << s2) - 1, s2)) return -1;
+            run = 0;
+        }
+        if (last < 63 && jw_put(&w, ac[0x00], al[0x00])) return -1;
+    }
+    if (w.n) {
+        int pad = 8 - w.n;
+        if (jw_put(&w, (1 << pad) - 1, pad)) return -1;
+    }
+    return w.pos;
+}
+
 long jpeg_decode_scan(const unsigned char *data, long nbytes, int n_comp,
                       const int *comp_meta, int mcux, int mcuy, int restart,
                       const unsigned char *huff_bits,
@@ -377,6 +457,11 @@ def _build() -> ctypes.CDLL | None:
         u8p, ctypes.c_long, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, u8p, u8p, i32p, i64p,
     ]
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.jpeg_encode_blocks.restype = ctypes.c_long
+    lib.jpeg_encode_blocks.argtypes = [
+        i32p, ctypes.c_long, u8p, u8p, u8p, u16p, u8p, u8p, ctypes.c_long,
+    ]
     return lib
 
 
@@ -479,3 +564,36 @@ def jpeg_decode_scan(
         out[o : o + s].reshape(-1, 64)
         for o, s in zip(offsets.tolist(), sizes)
     ]
+
+
+def jpeg_encode_blocks(
+    blocks: "np.ndarray",
+    pred_slot: "np.ndarray",
+    dc_slot: "np.ndarray",
+    ac_slot: "np.ndarray",
+    codes: "np.ndarray",
+    lens: "np.ndarray",
+):
+    """Quantized zigzag blocks (n, 64) int32 in emission order → stuffed
+    entropy bytes (final flush included), or None when unavailable.
+    codes/lens: (4, 256) uint16/uint8 canonical-code tables."""
+    lib = native_lib()
+    if lib is None:
+        return None
+    n = blocks.shape[0]
+    cap = n * 512 + 64  # worst case ≈216 B/block + stuffing headroom
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.jpeg_encode_blocks(
+        np.ascontiguousarray(blocks.reshape(-1).astype(np.int32, copy=False)),
+        n,
+        np.ascontiguousarray(pred_slot.astype(np.uint8, copy=False)),
+        np.ascontiguousarray(dc_slot.astype(np.uint8, copy=False)),
+        np.ascontiguousarray(ac_slot.astype(np.uint8, copy=False)),
+        np.ascontiguousarray(codes.reshape(-1).astype(np.uint16, copy=False)),
+        np.ascontiguousarray(lens.reshape(-1).astype(np.uint8, copy=False)),
+        out,
+        cap,
+    )
+    if rc < 0:
+        raise ValueError("JPEG encode buffer overflow")
+    return out[:rc].tobytes()

@@ -293,7 +293,9 @@ def _quantize_plane(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     """Level-shift, batched DCT, quantize → (n_blocks, 64) int32 in
     NATURAL order."""
     blocks, _, _ = _blockize(plane.astype(np.float64) - 128.0)
-    coeff = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
+    # C f C^T as two BLAS matmuls (an unoptimized einsum measured 4 ms/img
+    # — 70% of encode wall; matmul broadcasts over the block axis)
+    coeff = _DCT @ blocks @ _DCT.T
     q = np.round(coeff / qt.reshape(8, 8)).astype(np.int32)
     return q.reshape(-1, 64)
 
@@ -328,6 +330,87 @@ def _encode_block(bw: "_BitWriter", blk: np.ndarray, pred: int, dc, ac) -> int:
         code, ln = ac[0x00]  # EOB
         bw.write(code, ln)
     return int(blk[0])
+
+
+def _python_entropy(coeffs, widths, samps, mcux, mcuy, restart_interval):
+    """Reference pure-Python entropy encode (the semantics oracle for the
+    C kernel — byte-identical output, gated in tests) and the only path
+    that emits restart intervals."""
+    dc_codes = [_build_codes(*_DC_LUM), _build_codes(*_DC_CHROM)]
+    ac_codes = [_build_codes(*_AC_LUM), _build_codes(*_AC_CHROM)]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    entropy = bytearray()
+    rst = 0
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                entropy += bw.flush()
+                bw = _BitWriter()
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            for ci in range(3):
+                sh, sv = samps[ci]
+                tsel = 0 if ci == 0 else 1
+                for by in range(sv):
+                    for bx in range(sh):
+                        row = (my * sv + by) * widths[ci] + (mx * sh + bx)
+                        blk = coeffs[ci][row][ZIGZAG]
+                        pred[ci] = _encode_block(
+                            bw, blk, pred[ci], dc_codes[tsel], ac_codes[tsel]
+                        )
+            mcu_i += 1
+    entropy += bw.flush()
+    return entropy
+
+
+def _native_entropy(coeffs, widths, samps, mcux, mcuy):
+    """Try the C entropy-encode kernel: builds the emission-order zigzag
+    block array (vectorized gather — MCU interleave for any sampling) and
+    the per-block table/predictor slots, then one C call. Returns the
+    stuffed entropy bytes (final flush included) or None (no compiler).
+    Byte-identical to the Python _BitWriter path, gated in tests."""
+    from cinescrapers_spark.images._native import jpeg_encode_blocks, native_lib
+
+    if native_lib() is None:
+        return None
+    gathered = []
+    pat_pred: list[int] = []
+    pat_dc: list[int] = []
+    pat_ac: list[int] = []
+    for ci, (sh, sv) in enumerate(samps):
+        my, mx = np.meshgrid(np.arange(mcuy), np.arange(mcux), indexing="ij")
+        by = np.arange(sv).reshape(1, 1, sv, 1)
+        bx = np.arange(sh).reshape(1, 1, 1, sh)
+        rows = (
+            (my[:, :, None, None] * sv + by) * widths[ci]
+            + (mx[:, :, None, None] * sh + bx)
+        ).reshape(mcuy, mcux, sv * sh)
+        gathered.append(coeffs[ci][rows])  # (mcuy, mcux, k_ci, 64)
+        tsel = 0 if ci == 0 else 1
+        pat_pred += [ci] * (sv * sh)
+        pat_dc += [tsel] * (sv * sh)
+        pat_ac += [2 + tsel] * (sv * sh)
+    emis = np.ascontiguousarray(
+        np.concatenate(gathered, axis=2).reshape(-1, 64)[:, ZIGZAG]
+    )
+    n_mcu = mcux * mcuy
+    codes = np.zeros((4, 256), np.uint16)
+    lens = np.zeros((4, 256), np.uint8)
+    for slot, tbl in ((0, _DC_LUM), (1, _DC_CHROM), (2, _AC_LUM), (3, _AC_CHROM)):
+        for sym, (code, ln) in _build_codes(*tbl).items():
+            codes[slot, sym] = code
+            lens[slot, sym] = ln
+    return jpeg_encode_blocks(
+        emis,
+        np.tile(np.array(pat_pred, np.uint8), n_mcu),
+        np.tile(np.array(pat_dc, np.uint8), n_mcu),
+        np.tile(np.array(pat_ac, np.uint8), n_mcu),
+        codes,
+        lens,
+    )
 
 
 def encode_jpeg(
@@ -370,33 +453,19 @@ def encode_jpeg(
     mcux = planes[0].shape[1] // mw
     mcuy = planes[0].shape[0] // mh
 
-    dc_codes = [_build_codes(*_DC_LUM), _build_codes(*_DC_CHROM)]
-    ac_codes = [_build_codes(*_AC_LUM), _build_codes(*_AC_CHROM)]
-    bw = _BitWriter()
-    pred = [0, 0, 0]
-    entropy = bytearray()
-    rst = 0
-    mcu_i = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                entropy += bw.flush()
-                bw = _BitWriter()
-                entropy += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                pred = [0, 0, 0]
-            for ci in range(3):
-                sh, sv = samps[ci]
-                tsel = 0 if ci == 0 else 1
-                for by in range(sv):
-                    for bx in range(sh):
-                        row = (my * sv + by) * widths[ci] + (mx * sh + bx)
-                        blk = coeffs[ci][row][ZIGZAG]
-                        pred[ci] = _encode_block(
-                            bw, blk, pred[ci], dc_codes[tsel], ac_codes[tsel]
-                        )
-            mcu_i += 1
-    entropy += bw.flush()
+    entropy = None
+    if restart_interval == 0:
+        # hot path: one C call over the emission-order block array (the
+        # per-symbol Python loop below measured ~24 ms/image at harvest —
+        # BASELINE.md §D-1.3); byte-identical output, restart streams
+        # keep the Python path
+        entropy = _native_entropy(coeffs, widths, samps, mcux, mcuy)
+    if entropy is not None:
+        entropy = bytearray(entropy)
+    else:
+        entropy = _python_entropy(
+            coeffs, widths, samps, mcux, mcuy, restart_interval
+        )
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -606,7 +675,7 @@ def _reconstruct(store, scan, qtables, h, w, hmax, vmax, mcux, mcuy):
     for si, (comp, _, _) in enumerate(scan):
         qt = qtables[comp["q"]].astype(np.float64)
         coeff = store[si].reshape(-1, 8, 8) * qt.reshape(8, 8)
-        pix = np.einsum("xu,nuv,yv->nxy", _DCT.T, coeff, _DCT.T) + 128.0
+        pix = _DCT.T @ coeff @ _DCT + 128.0  # C^T F C, BLAS over blocks
         bw_ = mcux * comp["h"]
         bh_ = mcuy * comp["v"]
         plane = (

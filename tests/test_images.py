@@ -629,7 +629,7 @@ def test_jpeg_entropy_coder_exact():
         for ci, qt in ((0, ql), (1, qc), (2, qc)):
             qcoef = _quantize_plane(ycc[..., ci], qt)
             deq = qcoef.reshape(-1, 8, 8) * qt.reshape(8, 8).astype(np.float64)
-            pix = np.einsum("xu,nuv,yv->nxy", _DCT.T, deq, _DCT.T) + 128.0
+            pix = _DCT.T @ deq @ _DCT + 128.0  # same contraction as _reconstruct
             bh, bw = 32 // 8, 40 // 8
             planes.append(
                 pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(32, 40)
@@ -773,3 +773,34 @@ def test_native_entropy_kernels_equal_python():
             finally:
                 jpeg_mod._native_scan = real_native
             assert np.array_equal(got_c, got_py), f"scan kernel diverged: {kw}"
+
+
+def test_native_jpeg_encode_byte_exact():
+    """The C entropy-ENCODE kernel must produce BYTE-IDENTICAL streams to
+    the Python _BitWriter path (not just decodable ones) across quality
+    levels and subsampling — and restart-interval encodes, which stay on
+    the Python path, must still roundtrip."""
+    from cinescrapers_spark.images import jpeg as jpeg_mod
+    from cinescrapers_spark.images._native import native_lib
+    from cinescrapers_spark.images.jpeg import decode_jpeg, encode_jpeg
+
+    if native_lib() is None:
+        pytest.skip("no C compiler in this environment; fallback covered elsewhere")
+
+    rng = np.random.default_rng(9)
+    img = np.clip(
+        _jpeg_gradient(41, 53).astype(int) + rng.integers(-20, 20, (41, 53, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    real = jpeg_mod._native_entropy
+    for kw in ({}, {"quality": 50}, {"quality": 95}, {"subsampling": "420"}):
+        a = encode_jpeg(img, **kw)
+        jpeg_mod._native_entropy = lambda *x: None
+        try:
+            b = encode_jpeg(img, **kw)
+        finally:
+            jpeg_mod._native_entropy = real
+        assert a == b, f"encode kernel not byte-exact: {kw}"
+    got = decode_jpeg(encode_jpeg(img, 85, restart_interval=2))
+    assert got.shape == (41, 53, 3)

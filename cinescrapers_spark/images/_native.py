@@ -493,6 +493,15 @@ def png_unfilter_image(raw: np.ndarray, h: int, stride: int, bpp: int):
 
 def adpcm_decode(body: bytes, n: int, pred0: int, idx0: int):
     """ADPCM nibble body → int16[n], or None when unavailable."""
+    # the C loop reads body[i>>1] for i<n and IMA_STEP[idx] unclamped on
+    # entry; a truncated/crafted stream (large header n, short body, or
+    # idx0 > 88) would drive heap OOB reads — validate before the call
+    if len(body) < (n + 1) // 2:
+        raise ValueError(
+            f"ADPCM body {len(body)} B too short for {n} samples"
+        )
+    if not 0 <= idx0 <= 88:
+        raise ValueError(f"ADPCM step index {idx0} out of range 0..88")
     lib = native_lib()
     if lib is None:
         return None
@@ -506,6 +515,13 @@ def gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int):
     """GIF LZW code stream → index bytes, or None when unavailable.
     Raises the same ValueError class as the Python scan on malformed or
     truncated streams."""
+    # the C kernel's prefix/suffix/first tables are fixed 4096 entries;
+    # mcs >= 12 would write 2^mcs init entries past them (stack smash on
+    # crafted foreign bytes) — reject before crossing into C
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(
+            f"GIF LZW min code size {min_code_size} out of range 2..11"
+        )
     lib = native_lib()
     if lib is None:
         return None

@@ -34,6 +34,7 @@ import struct
 import numpy as np
 
 _GIF_MAX_CODE = 0xFFF  # 12-bit code space
+_GIF_MAX_PIXELS = 64_000_000  # decompression-bomb cap (foreign-input path)
 
 
 # --------------------------------------------------------------------------
@@ -264,7 +265,14 @@ def decode_gif(data: bytes) -> np.ndarray:
             pos += n * 3
         if ct is None:
             raise ValueError("GIF image with no color table")
+        # foreign-input guards: a crafted descriptor can otherwise drive
+        # a ~4 GB allocation (w*h) or overflow the C kernel's fixed
+        # 4096-entry LZW tables (mcs >= 12 writes 2^mcs init entries)
+        if w * h > _GIF_MAX_PIXELS:
+            raise ValueError(f"GIF frame {w}x{h} exceeds pixel cap")
         mcs = data[pos]
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"GIF LZW min code size {mcs} out of range 2..11")
         pos += 1
         stream, pos = _read_sub_blocks(data, pos)
         # hot path: the C LZW kernel (images/_native.py, equality-gated

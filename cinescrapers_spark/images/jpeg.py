@@ -30,6 +30,8 @@ import struct
 
 import numpy as np
 
+_JPEG_MAX_PIXELS = 64_000_000  # decompression-bomb cap (foreign-input path)
+
 # --------------------------------------------------------------------------
 # constant tables (ITU-T T.81 Annex K — public spec data)
 # --------------------------------------------------------------------------
@@ -548,6 +550,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("JPEG subset: 8-bit precision only")
+            # decompression-bomb guard: a few-hundred-byte crafted file
+            # with SOF h=w=65535 ×3 components would otherwise allocate
+            # ~50 GB of int32 coefficient stores before any entropy data
+            # is validated
+            if h * w > _JPEG_MAX_PIXELS:
+                raise ValueError(f"JPEG frame {w}x{h} exceeds pixel cap")
             for i in range(nc):
                 cid, samp, qsel = body[6 + 3 * i : 9 + 3 * i]
                 comps.append(
@@ -608,10 +616,22 @@ def _native_scan(data, pos, scan, mcux, mcuy, restart, dc_raw, ac_raw):
 
     bits8 = np.zeros((8, 16), np.uint8)
     vals8 = np.zeros((8, 256), np.uint8)
+    # tid is a 4-bit field (0-15) but only slots 0-3 exist; a stream may
+    # legally DEFINE an unused table with tid > 3 (the ids_ok guard only
+    # checks the SELECTED tables) — skip those instead of crashing, and
+    # bail to the Python scan on oversize bits (sum > 256 won't fit vals8)
     for tid, (bits, vals) in dc_raw.items():
+        if tid > 3:
+            continue
+        if sum(bits) > 256:
+            return None
         bits8[tid, :] = bits
         vals8[tid, : len(vals)] = vals
     for tid, (bits, vals) in ac_raw.items():
+        if tid > 3:
+            continue
+        if sum(bits) > 256:
+            return None
         bits8[4 + tid, :] = bits
         vals8[4 + tid, : len(vals)] = vals
     meta = [(c["h"], c["v"], dct, 4 + act) for c, dct, act in scan]

@@ -804,3 +804,88 @@ def test_native_jpeg_encode_byte_exact():
         assert a == b, f"encode kernel not byte-exact: {kw}"
     got = decode_jpeg(encode_jpeg(img, 85, restart_interval=2))
     assert got.shape == (41, 53, 3)
+
+
+# --------------------------------------------------------------------------
+# Foreign-input hardening (ADVICE r4: crafted bytes must raise ValueError,
+# never cross into the C kernels out-of-bounds or allocate unbounded)
+# --------------------------------------------------------------------------
+def test_foreign_input_guards_gif():
+    """Crafted GIF bytes: an LZW min-code-size >= 12 would overflow the C
+    kernel's fixed 4096-entry tables, and a 65535x65535 frame descriptor
+    would allocate ~4.3 GB — both must raise ValueError up front."""
+    import struct as _s
+
+    from cinescrapers_spark.images._native import gif_lzw_decode
+    from cinescrapers_spark.images.gif import decode_gif
+
+    # native wrapper rejects before the C call (both when compiled and not)
+    for mcs in (0, 1, 12, 128, 255):
+        with pytest.raises(ValueError, match="min code size"):
+            gif_lzw_decode(b"\x00\x01\x02", mcs, 9)
+
+    def gif_with(w, h, mcs):
+        head = b"GIF89a" + _s.pack("<HH", 10, 10) + bytes([0x80, 0, 0])
+        gct = bytes(6)  # 2-entry global color table
+        desc = b"\x2c" + _s.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        return head + gct + desc + bytes([mcs, 1, 0x00, 0x00]) + b"\x3b"
+
+    with pytest.raises(ValueError, match="min code size"):
+        decode_gif(gif_with(4, 4, 12))
+    with pytest.raises(ValueError, match="pixel cap"):
+        decode_gif(gif_with(65535, 65535, 2))
+
+
+def test_foreign_input_guards_adpcm():
+    """Crafted ADPCM container: header-declared n beyond the body and a
+    step index > 88 both previously drove OOB reads in the C kernel."""
+    import struct as _s
+
+    from cinescrapers_spark.images._native import adpcm_decode
+    from cinescrapers_spark.images.multimodal import _ADPCM_MAGIC, decode_adpcm
+
+    # wrapper-level (validation happens before the lib check, so this
+    # holds with or without a compiler)
+    with pytest.raises(ValueError, match="too short"):
+        adpcm_decode(b"\x00\x00", 1000, 0, 0)
+    with pytest.raises(ValueError, match="step index"):
+        adpcm_decode(bytes(500), 1000, 0, 200)
+
+    # end-to-end: valid magic, huge n, 2-byte body
+    bomb = _ADPCM_MAGIC + _s.pack("<hBI", 0, 0, 1_000_000) + b"\x11\x22"
+    with pytest.raises(ValueError, match="too short"):
+        decode_adpcm(bomb)
+    # valid body length but idx0 out of table range
+    bad_idx = _ADPCM_MAGIC + _s.pack("<hBI", 0, 150, 4) + b"\x11\x22"
+    with pytest.raises(ValueError, match="step index"):
+        decode_adpcm(bad_idx)
+
+
+def test_foreign_input_guards_jpeg():
+    """Crafted JPEG: a few-hundred-byte file whose SOF declares 65535x65535
+    must raise (decompression bomb), and a DHT defining an UNUSED table with
+    tid > 3 must not crash the native-scan table packing (it is skipped)."""
+    import struct as _s
+
+    from cinescrapers_spark.images.jpeg import decode_jpeg, encode_jpeg
+
+    sof = _s.pack(">BHHB", 8, 65535, 65535, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    bomb = b"\xff\xd8\xff\xc0" + _s.pack(">H", 2 + len(sof)) + sof
+    with pytest.raises(ValueError, match="pixel cap"):
+        decode_jpeg(bomb)
+
+    img = _jpeg_gradient(24, 24)
+    blob = encode_jpeg(img, 85)
+    base = decode_jpeg(blob)
+    # splice a legal-but-unused DHT with tid=5 (and a second with tid=15)
+    # right before SOS: 1 code of length 1, value 0
+    extra = b""
+    for tid in (5, 15):
+        body = bytes([tid]) + bytes([1] + [0] * 15) + bytes([0])
+        extra += b"\xff\xc4" + _s.pack(">H", 2 + len(body)) + body
+    sos_at = blob.index(b"\xff\xda")
+    spliced = blob[:sos_at] + extra + blob[sos_at:]
+    got = decode_jpeg(spliced)
+    assert np.array_equal(got, base)

@@ -600,6 +600,18 @@ def test_incremental_bucket_cap(spark, tmp_path):
     assert len(all_pairs) == 40 * 39 // 2 + 1
 
 
+def test_incremental_collect_cap(spark, sf_dir, monkeypatch):
+    """q_dedup_incremental's driver collect is hard-capped (VERDICT r4
+    wrong #3): an adversarial all-near-dup corpus makes the pair set
+    O(n²), and the query must fail loudly instead of OOMing the driver.
+    Simulated by shrinking the cap below the sf0.001 pair count."""
+    from cinescrapers_spark.plans import incremental
+
+    monkeypatch.setattr(incremental, "MAX_COLLECTED_PAIRS", 0)
+    with pytest.raises(ValueError, match="driver collect cap"):
+        incremental.q_dedup_incremental(spark, sf_dir)
+
+
 def test_incremental_ivf_equals_full_build(spark, tmp_path):
     """Feeding the clustered corpus to the persisted IVF index in three
     batches must reach the SAME recall (vs exact top-k) as the one-shot

@@ -2,7 +2,11 @@
 entry on Spark and its oracle_sql() on DuckDB at sf0.01; compare row count,
 column names/dtypes, and an order-insensitive value hash.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--json OUT] [sf_dir] [query ...]
+
+``--json OUT`` additionally writes a machine-readable per-query record —
+the round ritual uses it to record the parked-cohort evidence at
+bench_runs/round{N}/check_oracles_parked.json (VERDICT r4 wrong #1).
 """
 
 from __future__ import annotations
@@ -38,10 +42,15 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
-        set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None
-    )
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
+    only = set(rest) if rest else None
 
     import __spark_entry__ as e
     from cinescrapers_spark.session import get_spark
@@ -53,6 +62,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -62,16 +72,19 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"spark: {ex}"}
             continue
         el = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{el:.1f}s]")
+            results[name] = {"status": "rows_only", "rows": len(sdf), "sec": round(el, 2)}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"duckdb: {ex}"}
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -85,6 +98,7 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{el:.1f}s]")
             failures.append(name)
+            results[name] = {"status": "fail", "problems": problems, "sec": round(el, 2)}
             # show a diff sample
             try:
                 m = sdf.sort_index(axis=1).sort_values(list(sorted(sdf.columns))).head(3)
@@ -95,7 +109,22 @@ def main() -> int:
                 pass
         else:
             print(f"OK    {name}: {len(sdf)} rows [{el:.1f}s]")
+            results[name] = {
+                "status": "ok", "rows": len(sdf),
+                "rows_match": True, "schema_match": True, "hash_match": True,
+                "sec": round(el, 2),
+            }
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf": sf, "n_checked": len(results),
+                 "n_failures": len(failures), "results": results},
+                f, indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 

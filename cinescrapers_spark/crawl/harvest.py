@@ -54,8 +54,9 @@ CARD_SCHEMA = "url string, caption string, url_hash long"
 def _harvest_formats() -> tuple[str, ...]:
     """Corpus codec mix for the synthetic fetch stand-in. The default
     reproduces the historical byte-exact fixtures; set
-    CINESCRAPERS_HARVEST_FORMATS=qimg,ppm,png,jpeg to exercise the
-    entropy codecs through the full harvest path (bench use)."""
+    CINESCRAPERS_HARVEST_FORMATS=qimg,ppm,png,jpeg,jpeg_prog to exercise
+    the entropy codecs (incl. progressive JPEG) through the full harvest
+    path (bench use)."""
     import os
 
     return tuple(

@@ -410,6 +410,192 @@ long jpeg_decode_scan(const unsigned char *data, long nbytes, int n_comp,
         }
     return 0;
 }
+
+/* Progressive JPEG (T.81 Annex G): decode ONE SOS, updating the shared
+   coefficient stores. Mirrors jpeg.py's _progressive_scan exactly —
+   interleaved-DC over the MCU grid for n_comp > 1, non-interleaved over
+   cbh x cbw actual blocks for n_comp == 1 (DC or AC, first or refine).
+   Returns the byte position of the next marker (>= 0), or a negative
+   error: -1 bad Huffman code, -2 band overflow, -3 bad scan shape,
+   -4 bad refinement symbol. */
+static void jp_sync(jbits *b) {
+    b->cnt = 0;
+    while (b->marker < 0 && b->p < b->n) {
+        if (b->d[b->p] == 0xFF && b->p + 1 < b->n && b->d[b->p + 1] != 0x00) {
+            b->marker = b->d[b->p + 1];
+            break;
+        }
+        b->p++;
+    }
+}
+
+long jpeg_prog_scan(const unsigned char *data, long nbytes, int n_comp,
+                    const int *comp_meta, const long *out_offsets,
+                    int mcux, int mcuy, int cbw, int cbh, int ss, int se,
+                    int ah, int al, int restart,
+                    const unsigned char *huff_bits,
+                    const unsigned char *huff_vals, int *out) {
+    int mincode[8][17], maxcode[8][17], valptr[8][17];
+    int t, l, si;
+    int pred[4] = {0, 0, 0, 0};
+    long eobrun = 0, unit = 0;
+    jbits b;
+    for (t = 0; t < 8; t++) {
+        int code = 0, k = 0;
+        const unsigned char *bits = huff_bits + t * 16;
+        for (l = 1; l <= 16; l++) {
+            if (bits[l - 1] == 0) {
+                maxcode[t][l] = -1;
+            } else {
+                valptr[t][l] = k;
+                mincode[t][l] = code;
+                code += bits[l - 1];
+                maxcode[t][l] = code - 1;
+                k += bits[l - 1];
+            }
+            code <<= 1;
+        }
+    }
+    b.d = data; b.n = nbytes; b.p = 0; b.cur = 0; b.cnt = 0; b.marker = -1;
+    if (n_comp > 1) { /* interleaved DC scan over the padded MCU grid */
+        long my, mx;
+        if (ss != 0 || se != 0) return -3;
+        for (my = 0; my < mcuy; my++)
+            for (mx = 0; mx < mcux; mx++) {
+                if (restart && unit && unit % restart == 0) {
+                    jp_sync(&b);
+                    if (b.marker >= 0xD0 && b.marker <= 0xD7) {
+                        b.p += 2;
+                        b.marker = -1;
+                    }
+                    for (si = 0; si < n_comp; si++) pred[si] = 0;
+                }
+                for (si = 0; si < n_comp; si++) {
+                    int ch = comp_meta[4 * si], cv = comp_meta[4 * si + 1];
+                    int dt = comp_meta[4 * si + 2];
+                    const unsigned char *dv = huff_vals + dt * 256;
+                    long bw = (long)mcux * ch;
+                    int by, bx;
+                    for (by = 0; by < cv; by++)
+                        for (bx = 0; bx < ch; bx++) {
+                            long row = (my * cv + by) * bw + (mx * ch + bx);
+                            int *blk = out + out_offsets[si] + row * 64;
+                            if (ah == 0) {
+                                int s = jb_huff(&b, mincode[dt], maxcode[dt],
+                                                valptr[dt], dv);
+                                if (s < 0) return -1;
+                                pred[si] += s ? jext(jb_bits(&b, s), s) : 0;
+                                blk[0] = pred[si] * (1 << al);
+                            } else if (jb_bit(&b)) {
+                                blk[0] |= (1 << al);
+                            }
+                        }
+                }
+                unit++;
+            }
+    } else { /* non-interleaved: the component's ACTUAL block dims */
+        int ch = comp_meta[0];
+        int dt = comp_meta[2], at = comp_meta[3];
+        const unsigned char *dv = huff_vals + dt * 256;
+        const unsigned char *av = huff_vals + at * 256;
+        long bwstride = (long)mcux * ch;
+        long by, bx;
+        for (by = 0; by < cbh; by++)
+            for (bx = 0; bx < cbw; bx++) {
+                int *blk = out + out_offsets[0] + (by * bwstride + bx) * 64;
+                if (restart && unit && unit % restart == 0) {
+                    jp_sync(&b);
+                    if (b.marker >= 0xD0 && b.marker <= 0xD7) {
+                        b.p += 2;
+                        b.marker = -1;
+                    }
+                    pred[0] = 0;
+                    eobrun = 0;
+                }
+                if (ss == 0) { /* DC */
+                    if (ah == 0) {
+                        int s = jb_huff(&b, mincode[dt], maxcode[dt],
+                                        valptr[dt], dv);
+                        if (s < 0) return -1;
+                        pred[0] += s ? jext(jb_bits(&b, s), s) : 0;
+                        blk[0] = pred[0] * (1 << al);
+                    } else if (jb_bit(&b)) {
+                        blk[0] |= (1 << al);
+                    }
+                } else if (ah == 0) { /* AC first */
+                    if (eobrun > 0) {
+                        eobrun--;
+                    } else {
+                        int k = ss;
+                        while (k <= se) {
+                            int rs = jb_huff(&b, mincode[at], maxcode[at],
+                                             valptr[at], av);
+                            int r, s;
+                            if (rs < 0) return -1;
+                            r = rs >> 4;
+                            s = rs & 15;
+                            if (s == 0) {
+                                if (r == 15) { k += 16; continue; }
+                                eobrun = (1L << r) - 1;
+                                if (r) eobrun += jb_bits(&b, r);
+                                break;
+                            }
+                            k += r;
+                            if (k > se) return -2;
+                            blk[JZZ[k]] = jext(jb_bits(&b, s), s) * (1 << al);
+                            k++;
+                        }
+                    }
+                } else { /* AC refinement */
+                    int p1 = 1 << al, m1 = -(1 << al);
+                    int k = ss;
+                    if (eobrun == 0) {
+                        while (k <= se) {
+                            int rs = jb_huff(&b, mincode[at], maxcode[at],
+                                             valptr[at], av);
+                            int r, s, newval = 0;
+                            if (rs < 0) return -1;
+                            r = rs >> 4;
+                            s = rs & 15;
+                            if (s) {
+                                if (s != 1) return -4;
+                                newval = jb_bit(&b) ? p1 : m1;
+                            } else if (r != 15) {
+                                eobrun = 1L << r;
+                                if (r) eobrun += jb_bits(&b, r);
+                                break;
+                            }
+                            while (k <= se) {
+                                int *c = blk + JZZ[k];
+                                if (*c != 0) {
+                                    if (jb_bit(&b) && (*c & p1) == 0)
+                                        *c += (*c > 0) ? p1 : m1;
+                                } else {
+                                    if (r == 0) break;
+                                    r--;
+                                }
+                                k++;
+                            }
+                            if (newval && k <= se) blk[JZZ[k]] = newval;
+                            k++;
+                        }
+                    }
+                    if (eobrun > 0) {
+                        while (k <= se) {
+                            int *c = blk + JZZ[k];
+                            if (*c != 0 && jb_bit(&b) && (*c & p1) == 0)
+                                *c += (*c > 0) ? p1 : m1;
+                            k++;
+                        }
+                        eobrun--;
+                    }
+                }
+                unit++;
+            }
+    }
+    jp_sync(&b);
+    return b.p;
+}
 """
 
 _lib = None
@@ -461,6 +647,12 @@ def _build() -> ctypes.CDLL | None:
     lib.jpeg_encode_blocks.restype = ctypes.c_long
     lib.jpeg_encode_blocks.argtypes = [
         i32p, ctypes.c_long, u8p, u8p, u8p, u16p, u8p, u8p, ctypes.c_long,
+    ]
+    lib.jpeg_prog_scan.restype = ctypes.c_long
+    lib.jpeg_prog_scan.argtypes = [
+        u8p, ctypes.c_long, ctypes.c_int, i32p, i64p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p, u8p, i32p,
     ]
     return lib
 
@@ -613,3 +805,62 @@ def jpeg_encode_blocks(
     if rc < 0:
         raise ValueError("JPEG encode buffer overflow")
     return out[:rc].tobytes()
+
+
+def jpeg_prog_scan(
+    data: bytes,
+    pos: int,
+    scan_meta: list[tuple[int, int, int, int]],
+    offsets: "np.ndarray",
+    mcux: int,
+    mcuy: int,
+    cbw: int,
+    cbh: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart: int,
+    huff_bits: "np.ndarray",
+    huff_vals: "np.ndarray",
+    base: "np.ndarray",
+):
+    """Decode ONE progressive SOS in C, mutating the shared coefficient
+    buffer ``base`` (all components concatenated; ``offsets`` indexes the
+    scan's components into it, in int32 units). Returns the ABSOLUTE
+    position of the next marker, or None when the native path is
+    unavailable. ``scan_meta`` is (h, v, dc_slot, ac_slot) per scan
+    component with slots 0-3 DC / 4-7 AC."""
+    lib = native_lib()
+    if lib is None or len(scan_meta) > 4:
+        return None
+    seg = np.frombuffer(data, dtype=np.uint8, count=len(data) - pos, offset=pos)
+    meta = np.ascontiguousarray(np.array(scan_meta, dtype=np.int32).reshape(-1))
+    rc = lib.jpeg_prog_scan(
+        np.ascontiguousarray(seg),
+        len(data) - pos,
+        len(scan_meta),
+        meta,
+        np.ascontiguousarray(offsets.astype(np.int64, copy=False)),
+        mcux,
+        mcuy,
+        cbw,
+        cbh,
+        ss,
+        se,
+        ah,
+        al,
+        restart,
+        np.ascontiguousarray(huff_bits.reshape(-1)),
+        np.ascontiguousarray(huff_vals.reshape(-1)),
+        base,
+    )
+    if rc == -1:
+        raise ValueError("invalid JPEG Huffman code")
+    if rc == -2:
+        raise ValueError("JPEG AC index overflow")
+    if rc == -3:
+        raise ValueError("progressive AC scans must be single-component")
+    if rc == -4:
+        raise ValueError("JPEG AC refinement symbol s != 1")
+    return pos + int(rc)

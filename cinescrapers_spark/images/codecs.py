@@ -237,6 +237,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from cinescrapers_spark.images.jpeg import encode_jpeg
 
         return encode_jpeg(arr)
+    if fmt == "jpeg_prog":
+        from cinescrapers_spark.images.jpeg import encode_jpeg_progressive
+
+        return encode_jpeg_progressive(arr)
     raise NotImplementedError(f"no encoder for fmt={fmt!r} in sandbox")
 
 
@@ -252,7 +256,7 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         from cinescrapers_spark.images.gif import decode_gif
 
         return decode_gif(data)
-    if kind == "jpeg":
+    if kind in ("jpeg", "jpeg_prog"):  # one decoder: it reads the SOF marker
         from cinescrapers_spark.images.jpeg import decode_jpeg
 
         return decode_jpeg(data)

@@ -9,15 +9,20 @@ transform (8×8 DCT-II, batched as one numpy tensordot per component —
 the per-block math never loops in Python; only the inherently sequential
 bit-level Huffman scan does, per SYMBOL not per pixel).
 
-Decoder (foreign-input path): baseline sequential DCT (SOF0), grayscale
-or YCbCr, ANY h/v sampling factors ≤ 2 (4:4:4, 4:2:2, 4:2:0 — MCU
-interleaving per the spec), DRI/RSTn restart intervals, stuffed bytes,
-APPn/COM skipping. Progressive (SOF2) raises — honest about the subset.
+Decoder (foreign-input path): baseline sequential DCT (SOF0/1) AND
+progressive DCT (SOF2 — Annex G spectral selection + successive
+approximation, EOB runs, DC/AC refinement scans), grayscale or YCbCr,
+ANY h/v sampling factors ≤ 2 (4:4:4, 4:2:2, 4:2:0 — MCU interleaving
+per the spec), DRI/RSTn restart intervals, stuffed bytes, APPn/COM
+skipping. Lossless/arithmetic SOF variants raise — honest subset.
 
-Encoder: 4:4:4 YCbCr baseline with the Annex K tables scaled by the IJG
-quality formula and the Annex K "typical" Huffman tables. Decode parity
-is gated coefficient-exactly against an independent per-block
-quantize/dequantize reference in tests, plus a hand-packed spec golden.
+Encoder: 4:4:4/4:2:0 YCbCr baseline with the Annex K tables scaled by
+the IJG quality formula and the Annex K "typical" Huffman tables, plus
+a progressive (SOF2) encoder with a configurable scan script. Decode
+parity is gated coefficient-exactly against an independent per-block
+quantize/dequantize reference in tests, hand-packed spec goldens for
+BOTH modes, and a pixel-identity gate progressive-vs-baseline (both
+pack the same quantized coefficients).
 
 The reference only sniffs JPEG magic bytes
 (``/root/reference/src/cinescrapers/__main__.py:260-281``); full decode
@@ -415,16 +420,9 @@ def _native_entropy(coeffs, widths, samps, mcux, mcuy):
     )
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (Annex K Huffman tables,
-    IJG quality scaling). ``subsampling`` "444" or "420" (2×2-averaged
-    chroma); ``restart_interval`` > 0 emits DRI + RSTn every that many
-    MCUs (what a streaming encoder does for error resilience)."""
+def _prepare_coeffs(arr: np.ndarray, quality: int, subsampling: str):
+    """RGB → per-component quantized coefficient stores on the MCU-padded
+    grid. Returns (coeffs, widths, samps, mcux, mcuy, ql, qc)."""
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
     assert subsampling in ("444", "420")
@@ -454,6 +452,28 @@ def encode_jpeg(
         widths.append(p.shape[1] // 8)
     mcux = planes[0].shape[1] // mw
     mcuy = planes[0].shape[0] // mh
+    return coeffs, widths, samps, mcux, mcuy, ql, qc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (Annex K Huffman tables,
+    IJG quality scaling). ``subsampling`` "444" or "420" (2×2-averaged
+    chroma); ``restart_interval`` > 0 emits DRI + RSTn every that many
+    MCUs (what a streaming encoder does for error resilience)."""
+    h, w, _c = arr.shape
+    coeffs, widths, samps, mcux, mcuy, ql, qc = _prepare_coeffs(
+        arr, quality, subsampling
+    )
+    ysamp = samps[0]
 
     entropy = None
     if restart_interval == 0:
@@ -469,27 +489,290 @@ def encode_jpeg(
             coeffs, widths, samps, mcux, mcuy, restart_interval
         )
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + bytes(ql[ZIGZAG].astype(np.uint8)))
-    out += seg(0xDB, b"\x01" + bytes(qc[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + bytes(ql[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xDB, b"\x01" + bytes(qc[ZIGZAG].astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, 3)
     for cid, (sh, sv), qsel in ((1, ysamp, 0), (2, (1, 1), 1), (3, (1, 1), 1)):
         sof += bytes([cid, sh * 16 + sv, qsel])
-    out += seg(0xC0, sof)
+    out += _seg(0xC0, sof)
     for cls, tid, (bits, vals) in (
         (0, 0, _DC_LUM), (0, 1, _DC_CHROM), (1, 0, _AC_LUM), (1, 1, _AC_CHROM)
     ):
-        out += seg(0xC4, bytes([cls * 16 + tid]) + bytes(bits) + bytes(vals))
+        out += _seg(0xC4, bytes([cls * 16 + tid]) + bytes(bits) + bytes(vals))
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += entropy
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive encode (T.81 Annex G). Packs the SAME quantized coefficients
+# as the baseline encoder into a multi-scan SOF2 stream — spectral
+# selection + successive approximation — which makes decode equivalence
+# against the baseline roundtrip an exact pixel-level gate (same
+# coefficients → same dequantize + IDCT), far stronger than a PSNR bound.
+# --------------------------------------------------------------------------
+# Progressive AC scans emit EOBn symbols (r<<4 for r>0) that the Annex K
+# "typical" sequential tables don't contain, so the progressive encoder
+# carries one complete flat 9-bit AC table: every symbol a progressive AC
+# scan can produce (EOB0..EOB14, ZRL, r/s for s=1..10) at code length 9 —
+# canonical, prefix-free, and no all-ones code. Compression is secondary;
+# correctness of the scan structure is what's being shipped and tested.
+_AC_PROG_SYMS = sorted(
+    [r << 4 for r in range(15)]           # EOBn
+    + [0xF0]                              # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_PROG = ([0] * 8 + [len(_AC_PROG_SYMS)] + [0] * 7, _AC_PROG_SYMS)
+
+# IJG-shaped default scan script: (comp_indices, Ss, Se, Ah, Al)
+_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),  # DC first, one bit held back
+    ([0], 1, 5, 0, 2),        # luma low band
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),       # luma high band
+    ([0], 1, 63, 2, 1),       # luma refinement 2→1
+    ([0, 1, 2], 0, 0, 1, 0),  # DC refinement
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),       # final luma refinement
+]
+
+
+class _ProgACState:
+    """EOB-run + buffered-correction-bit state shared across blocks of one
+    scan (G.1.2.3: correction bits belonging to blocks inside an EOB run
+    are emitted after the EOBn code that closes the run)."""
+
+    def __init__(self, bw: "_BitWriter", ac_codes: dict):
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac[nbits << 4]
+            self.bw.write(code, ln)
+            if nbits:
+                self.bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+
+def _enc_dc_first(bw, blk, pred, al, dc_codes):
+    t = int(blk[0]) >> al  # arithmetic shift; refine restores the low bit
+    diff = t - pred
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return t
+
+
+def _enc_ac_first(st: _ProgACState, blk, ss, se, al):
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(blk[ZIGZAG[k]])
+        t = abs(v) >> al  # magnitude rounds toward zero (G.1.2.2)
+        if t == 0:
+            run += 1
+            continue
+        st.flush_eobrun()
+        while run > 15:
+            code, ln = st.ac[0xF0]
+            st.bw.write(code, ln)
+            run -= 16
+        s = t.bit_length()
+        code, ln = st.ac[(run << 4) | s]
+        st.bw.write(code, ln)
+        st.bw.write(t if v > 0 else (~t) & ((1 << s) - 1), s)
+        run = 0
+    if run > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _enc_ac_refine(st: _ProgACState, blk, ss, se, al):
+    absv = []
+    eobk = ss - 1  # index of the last newly-nonzero coefficient
+    for k in range(ss, se + 1):
+        t = abs(int(blk[ZIGZAG[k]])) >> al
+        absv.append(t)
+        if t == 1:
+            eobk = k
+    run = 0
+    br: list[int] = []  # correction bits owed after the NEXT emitted code
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eobk:
+            st.flush_eobrun()
+            code, ln = st.ac[0xF0]
+            st.bw.write(code, ln)
+            run -= 16
+            for b in br:
+                st.bw.write(b, 1)
+            br = []
+        if t > 1:
+            # history-nonzero: just the next magnitude bit, run continues
+            br.append(t & 1)
+            continue
+        st.flush_eobrun()
+        code, ln = st.ac[(run << 4) | 1]
+        st.bw.write(code, ln)
+        st.bw.write(1 if int(blk[ZIGZAG[k]]) > 0 else 0, 1)
+        for b in br:
+            st.bw.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF or len(st.pending) > 872:
+            st.flush_eobrun()
+
+
+def _emit_progressive_scan(
+    coeffs, comps_meta, scan_comps, ss, se, ah, al, mcux, mcuy, h, w,
+    restart_interval,
+):
+    """Entropy bytes for one progressive scan. ``comps_meta`` is the
+    per-component (samp_h, samp_v, dc_codes) list; geometry mirrors the
+    decoder exactly (interleaved MCU grid for multi-component DC scans,
+    actual block dims for single-component scans)."""
+    hmax = max(m[0] for m in comps_meta)
+    vmax = max(m[1] for m in comps_meta)
+    ac_codes = _build_codes(*_AC_PROG)
+    out = bytearray()
+    bw = _BitWriter()
+    st = _ProgACState(bw, ac_codes)
+    preds = [0] * len(scan_comps)
+    rst = 0
+    unit_i = 0
+
+    def restart_now():
+        nonlocal bw, st, rst
+        st.flush_eobrun()
+        out.extend(bw.flush())
+        out.extend(bytes([0xFF, 0xD0 + rst]))
+        rst = (rst + 1) % 8
+        bw = _BitWriter()
+        st = _ProgACState(bw, ac_codes)
+        preds[:] = [0] * len(scan_comps)
+
+    if len(scan_comps) > 1:  # interleaved DC scan
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit_i and unit_i % restart_interval == 0:
+                    restart_now()
+                for si, ci in enumerate(scan_comps):
+                    sh, sv, dc_codes = comps_meta[ci]
+                    bw_stride = mcux * sh
+                    for by in range(sv):
+                        for bx in range(sh):
+                            row = (my * sv + by) * bw_stride + (mx * sh + bx)
+                            blk = coeffs[ci][row]
+                            if ah == 0:
+                                preds[si] = _enc_dc_first(
+                                    bw, blk, preds[si], al, dc_codes
+                                )
+                            else:
+                                bw.write((int(blk[0]) >> al) & 1, 1)
+                unit_i += 1
+    else:
+        ci = scan_comps[0]
+        sh, sv, dc_codes = comps_meta[ci]
+        bw_stride = mcux * sh
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        cbh, cbw = -(-ch // 8), -(-cw // 8)
+        for by in range(cbh):
+            for bx in range(cbw):
+                if restart_interval and unit_i and unit_i % restart_interval == 0:
+                    restart_now()
+                blk = coeffs[ci][by * bw_stride + bx]
+                if ss == 0:
+                    if ah == 0:
+                        preds[0] = _enc_dc_first(bw, blk, preds[0], al, dc_codes)
+                    else:
+                        bw.write((int(blk[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first(st, blk, ss, se, al)
+                else:
+                    _enc_ac_refine(st, blk, ss, se, al)
+                unit_i += 1
+    st.flush_eobrun()
+    out.extend(bw.flush())
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    scans: list | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive (SOF2) JFIF bytes. ``scans`` is a
+    list of (comp_indices, Ss, Se, Ah, Al) tuples; the default script is
+    IJG-shaped (spectral selection AND successive approximation). Every
+    coefficient bit is emitted across the script, so decode output is
+    pixel-identical to the baseline encoding at the same quality."""
+    h, w, _c = arr.shape
+    coeffs, _widths, samps, mcux, mcuy, ql, qc = _prepare_coeffs(
+        arr, quality, subsampling
+    )
+    if scans is None:
+        scans = _PROG_SCRIPT_COLOR
+    dc_lum, dc_chrom = _build_codes(*_DC_LUM), _build_codes(*_DC_CHROM)
+    comps_meta = [
+        (samps[0][0], samps[0][1], dc_lum),
+        (1, 1, dc_chrom),
+        (1, 1, dc_chrom),
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + bytes(ql[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xDB, b"\x01" + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (sh, sv), qsel in (
+        (1, samps[0], 0), (2, (1, 1), 1), (3, (1, 1), 1)
+    ):
+        sof += bytes([cid, sh * 16 + sv, qsel])
+    out += _seg(0xC2, sof)  # SOF2: progressive DCT
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUM), (0, 1, _DC_CHROM), (1, 0, _AC_PROG)
+    ):
+        out += _seg(0xC4, bytes([cls * 16 + tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    for scan_comps, ss, se, ah, al in scans:
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            dc_sel = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (dc_sel << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        out += _emit_progressive_scan(
+            coeffs, comps_meta, scan_comps, ss, se, ah, al, mcux, mcuy, h, w,
+            restart_interval,
+        )
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -497,8 +780,10 @@ def encode_jpeg(
 # decode
 # --------------------------------------------------------------------------
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (grayscale replicated).
-    Sampling factors ≤ 2 per axis, restart intervals, stuffed bytes."""
+    """JPEG bytes → (h, w, 3) uint8 RGB (grayscale replicated). Baseline
+    sequential (SOF0/1) and progressive (SOF2: spectral selection +
+    successive approximation per T.81 Annex G). Sampling factors ≤ 2 per
+    axis, restart intervals, stuffed bytes."""
     assert data[:2] == b"\xff\xd8", "not a jpeg"
     pos = 2
     qtables: dict[int, np.ndarray] = {}
@@ -509,6 +794,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart = 0
+    progressive = False
+    stores: list[np.ndarray] | None = None
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
@@ -546,7 +833,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = _build_decoder(bits, vals)
                 (dc_raw if cls == 0 else ac_raw)[tid] = (bits, vals)
                 bp += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("JPEG subset: 8-bit precision only")
@@ -561,25 +849,60 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0xF, "q": qsel}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG subset: baseline sequential only (SOF 0x{marker:02x})"
+                f"JPEG subset: sequential + progressive DCT only "
+                f"(SOF 0x{marker:02x})"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            scan = []
+            if not progressive:
+                scan = []
+                for i in range(ns):
+                    cid, tsel = body[1 + 2 * i], body[2 + 2 * i]
+                    comp = next(c for c in comps if c["id"] == cid)
+                    scan.append((comp, tsel >> 4, tsel & 0xF))
+                pos += seglen
+                return _decode_scan(
+                    data, pos, h, w, scan, qtables, dc_tabs, ac_tabs, restart,
+                    dc_raw, ac_raw,
+                )
+            # progressive: one of many scans, each updating the shared
+            # coefficient stores (T.81 Annex G)
+            hmax, vmax, mcux, mcuy = _frame_geometry(comps, h, w)
+            if stores is None:
+                # one contiguous buffer (component views into it) so the
+                # C scan kernel can address every store through offsets
+                sizes = [mcuy * c["v"] * mcux * c["h"] * 64 for c in comps]
+                store_offsets = np.cumsum([0] + sizes[:-1]).astype(np.int64)
+                store_base = np.zeros(int(sum(sizes)), np.int32)
+                stores = [
+                    store_base[o : o + s].reshape(-1, 64)
+                    for o, s in zip(store_offsets.tolist(), sizes)
+                ]
+            scan_sel = []
             for i in range(ns):
                 cid, tsel = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cid)
-                scan.append((comp, tsel >> 4, tsel & 0xF))
-            pos += seglen
-            return _decode_scan(
-                data, pos, h, w, scan, qtables, dc_tabs, ac_tabs, restart,
-                dc_raw, ac_raw,
+                ci = next(j for j, c in enumerate(comps) if c["id"] == cid)
+                scan_sel.append((ci, tsel >> 4, tsel & 0xF))
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            pos = _progressive_scan(
+                data, pos + seglen, comps, stores, scan_sel, ss, se, ah, al,
+                restart, dc_tabs, ac_tabs, h, w, hmax, vmax, mcux, mcuy,
+                dc_raw, ac_raw, store_base, store_offsets,
             )
+            continue
         pos += seglen
+    if progressive and stores is not None:
+        hmax, vmax, mcux, mcuy = _frame_geometry(comps, h, w)
+        scan_all = [(c, 0, 0) for c in comps]
+        return _reconstruct(
+            stores, scan_all, qtables, h, w, hmax, vmax, mcux, mcuy
+        )
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -687,6 +1010,248 @@ def _python_scan(data, pos, scan, mcux, mcuy, restart, dc_tabs, ac_tabs):
                         store[si][row] = blk
             mcu_i += 1
     return store
+
+
+# --------------------------------------------------------------------------
+# progressive decode (T.81 Annex G: spectral selection + successive
+# approximation). Each SOS updates the shared per-component coefficient
+# stores; reconstruction happens once at EOI. Control flow follows the
+# spec's figures G.6/G.7 (first scans) and G.1.2.3 (refinement); the
+# correction-bit semantics match any conforming decoder by construction.
+# --------------------------------------------------------------------------
+def _frame_geometry(comps, h, w):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _comp_blocks(c, h, w, hmax, vmax):
+    """ACTUAL block dims of a component (non-interleaved scans cover these,
+    not the MCU-padded grid): ceil(ceil(dim·samp/max)/8) per axis."""
+    cw = -(-(w * c["h"]) // hmax)
+    ch = -(-(h * c["v"]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _dc_first(rd, blk, pred, dtab, al):
+    """G.2 DC first scan: baseline DC diff, value scaled by 2^Al. The
+    predictor accumulates UNSHIFTED values; the store holds pred << Al."""
+    s = rd.huff(dtab)
+    diff = _extend(rd.bits(s), s) if s else 0
+    pred += diff
+    blk[0] = pred << al
+    return pred
+
+
+def _dc_refine(rd, blk, al):
+    """DC successive-approximation refinement: one appended bit."""
+    if rd.bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _ac_first(rd, blk, ss, se, al, eobrun, atab):
+    """AC first scan for the band [ss, se] at bit position Al. EOBn codes
+    (s=0, r<15) start an end-of-band run covering this and the next
+    (1<<r)-1+bits(r) blocks. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.huff(atab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overflow")
+        blk[ZIGZAG[k]] = _extend(rd.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(rd, blk, ss, se, al, eobrun, atab):
+    """AC successive-approximation refinement (G.1.2.3): newly-nonzero
+    coefficients arrive as ±2^Al; every already-nonzero coefficient in
+    the band consumes one correction bit, INCLUDING inside EOB runs."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(atab)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement symbol s != 1")
+                newval = p1 if rd.bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += rd.bits(r)
+                break  # correction bits of this block handled below
+            # advance past r zero-history coefficients, emitting a
+            # correction bit for each nonzero-history one passed over
+            while k <= se:
+                z = ZIGZAG[k]
+                cur = int(blk[z])
+                if cur != 0:
+                    if rd.bit() and (cur & p1) == 0:
+                        blk[z] = cur + (p1 if cur > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            cur = int(blk[z])
+            if cur != 0 and rd.bit() and (cur & p1) == 0:
+                blk[z] = cur + (p1 if cur > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _native_prog_scan(
+    data, pos, comps, scan, ss, se, ah, al, restart,
+    dc_raw, ac_raw, base, offsets, h, w, hmax, vmax, mcux, mcuy,
+):
+    """Try the C progressive-scan kernel (images/_native.py) — each SOS
+    is one C call over the shared coefficient buffer. Returns the next
+    marker position or None (no compiler / tables beyond the 0-3 slots /
+    oversize DHT), in which case the Python scan below runs."""
+    if base is None or len(scan) > 4:
+        return None
+
+    def _tbl_ok(raws, tid):
+        return 0 <= tid <= 3 and tid in raws and sum(raws[tid][0]) <= 256
+
+    for _ci, dct, act in scan:
+        if ss == 0 and ah == 0 and not _tbl_ok(dc_raw, dct):
+            return None  # DC-first needs its Huffman table
+        if ss != 0 and not _tbl_ok(ac_raw, act):
+            return None  # every AC scan shape needs its table
+    from cinescrapers_spark.images._native import jpeg_prog_scan
+
+    bits8 = np.zeros((8, 16), np.uint8)
+    vals8 = np.zeros((8, 256), np.uint8)
+    for raws, slot0 in ((dc_raw, 0), (ac_raw, 4)):
+        for tid, (bits, vals) in raws.items():
+            if tid > 3 or sum(bits) > 256:
+                continue  # unused table defined beyond the slots
+            bits8[slot0 + tid, :] = bits
+            vals8[slot0 + tid, : len(vals)] = vals
+    meta = [
+        (
+            comps[ci]["h"],
+            comps[ci]["v"],
+            dct if 0 <= dct <= 3 else 0,       # unused in refine scans
+            4 + act if 0 <= act <= 3 else 4,   # unused in DC scans
+        )
+        for ci, dct, act in scan
+    ]
+    scan_off = np.array([offsets[ci] for ci, _, _ in scan], np.int64)
+    if len(scan) == 1:
+        cbh, cbw = _comp_blocks(comps[scan[0][0]], h, w, hmax, vmax)
+    else:
+        cbh = cbw = 0
+    return jpeg_prog_scan(
+        data, pos, meta, scan_off, mcux, mcuy, cbw, cbh, ss, se, ah, al,
+        restart, bits8, vals8, base,
+    )
+
+
+def _progressive_scan(
+    data, pos, comps, stores, scan, ss, se, ah, al,
+    restart, dc_tabs, ac_tabs, h, w, hmax, vmax, mcux, mcuy,
+    dc_raw=None, ac_raw=None, store_base=None, store_offsets=None,
+):
+    """Decode ONE progressive SOS, mutating ``stores``; returns the
+    position of the next marker. Multi-component scans are DC-only and
+    MCU-interleaved over the padded grid; single-component scans are
+    non-interleaved over the component's ACTUAL block dims (G.1.1.1).
+    The hot path is the C kernel (one call per scan, equality-gated in
+    tests); this Python loop is the reference semantics and fallback."""
+    if dc_raw is not None and ac_raw is not None:
+        npos = _native_prog_scan(
+            data, pos, comps, scan, ss, se, ah, al, restart,
+            dc_raw, ac_raw, store_base, store_offsets,
+            h, w, hmax, vmax, mcux, mcuy,
+        )
+        if npos is not None:
+            return npos
+    rd = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    state = {"eobrun": 0}
+
+    def maybe_restart(unit_i):
+        if restart and unit_i and unit_i % restart == 0:
+            m = rd.sync_to_marker()
+            if m is not None and 0xD0 <= m <= 0xD7:
+                rd.consume_marker()
+            preds[:] = [0] * len(scan)
+            state["eobrun"] = 0
+
+    if len(scan) > 1:
+        if ss != 0 or se != 0:
+            raise ValueError("progressive AC scans must be single-component")
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(mcu_i)
+                for si, (ci, dct, _act) in enumerate(scan):
+                    c = comps[ci]
+                    bw_ = mcux * c["h"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = (my * c["v"] + by) * bw_ + (mx * c["h"] + bx)
+                            blk = stores[ci][row]
+                            if ah == 0:
+                                preds[si] = _dc_first(
+                                    rd, blk, preds[si], dc_tabs[dct], al
+                                )
+                            else:
+                                _dc_refine(rd, blk, al)
+                mcu_i += 1
+    else:
+        ci, dct, act = scan[0]
+        c = comps[ci]
+        bw_ = mcux * c["h"]
+        cbh, cbw = _comp_blocks(c, h, w, hmax, vmax)
+        unit = 0
+        for by in range(cbh):
+            for bx in range(cbw):
+                maybe_restart(unit)
+                blk = stores[ci][by * bw_ + bx]
+                if ss == 0:
+                    if ah == 0:
+                        preds[0] = _dc_first(rd, blk, preds[0], dc_tabs[dct], al)
+                    else:
+                        _dc_refine(rd, blk, al)
+                elif ah == 0:
+                    state["eobrun"] = _ac_first(
+                        rd, blk, ss, se, al, state["eobrun"], ac_tabs[act]
+                    )
+                else:
+                    state["eobrun"] = _ac_refine(
+                        rd, blk, ss, se, al, state["eobrun"], ac_tabs[act]
+                    )
+                unit += 1
+    rd.sync_to_marker()
+    return rd.pos
 
 
 def _reconstruct(store, scan, qtables, h, w, hmax, vmax, mcux, mcuy):

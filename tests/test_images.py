@@ -678,28 +678,157 @@ def test_jpeg_spec_golden_decode():
     assert np.array_equal(got, np.full((8, 8, 3), 130, np.uint8))
 
 
-def test_jpeg_progressive_raises_and_dispatch():
-    """Progressive JPEG (SOF2) must raise the honest subset error; the
-    sniffer must route baseline JPEG bytes through decode_image."""
+def test_jpeg_dispatch_and_remaining_sof_gates():
+    """The sniffer routes both baseline AND progressive JPEG bytes through
+    decode_image; the remaining non-DCT SOF variants (lossless,
+    arithmetic) still raise the honest subset error."""
     import struct
 
     from cinescrapers_spark.images.codecs import decode_image, sniff_format
-    from cinescrapers_spark.images.jpeg import decode_jpeg, encode_jpeg
+    from cinescrapers_spark.images.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
-    bad = (
+    img = _jpeg_gradient(16, 16)
+    for blob in (encode_jpeg(img, 90), encode_jpeg_progressive(img, 90)):
+        assert sniff_format(blob) == "jpeg"
+        assert decode_image(blob).shape == (16, 16, 3)
+
+    lossless = (
         b"\xff\xd8"
-        + b"\xff\xc2"
+        + b"\xff\xc3"  # SOF3: lossless sequential — still gated
         + struct.pack(">H", 11)
         + struct.pack(">BHHB", 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
     )
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(bad)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(lossless)
 
-    img = _jpeg_gradient(16, 16)
-    blob = encode_jpeg(img, 90)
-    assert sniff_format(blob) == "jpeg"
-    assert decode_image(blob).shape == (16, 16, 3)
+
+def test_jpeg_progressive_roundtrip_equals_baseline():
+    """Progressive encode packs the SAME quantized coefficients as the
+    baseline encoder, so decode output must be PIXEL-IDENTICAL to the
+    baseline roundtrip — across samplings, qualities, scan scripts
+    (spectral-only, IJG-shaped SA, one-bit-at-a-time deep SA), restart
+    intervals, and an all-flat image that maximizes EOB runs."""
+    from cinescrapers_spark.images.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    spectral_only = [
+        ([0, 1, 2], 0, 0, 0, 0), ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0),
+    ]
+    deep_sa = [
+        ([0, 1, 2], 0, 0, 0, 3), ([0, 1, 2], 0, 0, 3, 2),
+        ([0, 1, 2], 0, 0, 2, 1), ([0, 1, 2], 0, 0, 1, 0),
+        ([0], 1, 63, 0, 3), ([0], 1, 63, 3, 2),
+        ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0),
+        ([1], 1, 63, 0, 2), ([1], 1, 63, 2, 1), ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 0, 1), ([2], 1, 63, 1, 0),
+    ]
+    for shape, q, sub in (
+        ((41, 53), 85, "444"), ((64, 64), 50, "420"), ((24, 31), 95, "420")
+    ):
+        h, w = shape
+        img = np.clip(
+            _jpeg_gradient(h, w).astype(int) + rng.integers(-15, 15, (h, w, 3)),
+            0, 255,
+        ).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, q, sub))
+        for kw in (
+            {}, {"scans": spectral_only}, {"scans": deep_sa},
+            {"restart_interval": 2}, {"scans": spectral_only, "restart_interval": 3},
+        ):
+            prog = decode_jpeg(encode_jpeg_progressive(img, q, sub, **kw))
+            assert np.array_equal(prog, base), (shape, q, sub, kw)
+        assert psnr(img, base) >= 25.0  # q=50 4:2:0 on noise sits ~29 dB
+
+    flat = np.full((64, 64, 3), 130, np.uint8)  # 64 all-zero-AC blocks:
+    # the encoder aggregates them into one EOBn with r > 0, gating the
+    # decoder's multi-block end-of-band run path
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, 85)),
+        decode_jpeg(encode_jpeg(flat, 85)),
+    )
+
+
+def test_jpeg_progressive_spec_golden_decode():
+    """Hand-assembled progressive stream (independent of our encoder):
+    8×8 grayscale, all-ones quant table, four scans exercising DC
+    first/refine (Al=1→0) and AC first/refine with an EOB run — the
+    Huffman codes and bit strings are derived BY HAND from the canonical
+    construction, and the expected pixels from an inline float IDCT."""
+    import struct
+
+    from cinescrapers_spark.images.jpeg import decode_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def pack_bits(s):
+        s += "1" * (-len(s) % 8)
+        out = bytearray()
+        for i in range(0, len(s), 8):
+            b = int(s[i : i + 8], 2)
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    # DC table: 6 symbols at length 3 → codes 000..101 for cats 0..5
+    dc_tbl = ([0, 0, 6] + [0] * 13, [0, 1, 2, 3, 4, 5])
+    # AC table: 3 symbols at length 3 → 0x00=000, 0x02=001, 0x81=010
+    ac_tbl = ([0, 0, 3] + [0] * 13, [0x00, 0x02, 0x81])
+
+    jpg = bytearray(b"\xff\xd8")
+    jpg += seg(0xDB, b"\x00" + bytes([1] * 64))
+    jpg += seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    jpg += seg(0xC4, bytes([0x00]) + bytes(dc_tbl[0]) + bytes(dc_tbl[1]))
+    jpg += seg(0xC4, bytes([0x10]) + bytes(ac_tbl[0]) + bytes(ac_tbl[1]))
+    # scan 1 — DC first, Al=1: coefficient 20 → 20>>1 = 10, cat 4:
+    #   code(4)=100, value bits 1010
+    jpg += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    jpg += pack_bits("100" + "1010")
+    # scan 2 — AC first 1..63, Al=1: zigzag k=1 holds +5 → mag 5>>1 = 2
+    #   (cat 2, run 0): code(0x02)=001, bits 10; k=10 holds -3 → mag 1,
+    #   run 8: code(0x81)=010, bit 0 (negative); then EOB: code(0x00)=000
+    jpg += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    jpg += pack_bits("001" + "10" + "010" + "0" + "000")
+    # scan 3 — DC refine Ah=1→Al=0: appended bit = 20 & 1 = 0
+    jpg += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    jpg += pack_bits("0")
+    # scan 4 — AC refine Ah=1→Al=0: EOB0 (code 000) opens an end-of-band
+    #   run over the block; the two history-nonzero coefficients then
+    #   consume one correction bit each: 5&1=1, 3&1=1
+    jpg += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    jpg += pack_bits("000" + "1" + "1")
+    jpg += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(jpg))
+
+    # independent expectation: natural-order coefficients via inline IDCT
+    F = np.zeros((8, 8))
+    F[0, 0] = 20.0   # DC
+    F[0, 1] = 5.0    # zigzag index 1
+    F[4, 0] = -3.0   # zigzag index 10 → natural 32
+    C = np.array(
+        [
+            [
+                (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    y = np.clip(np.round(C.T @ F @ C + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, np.stack([y, y, y], axis=-1))
 
 
 def test_generator_jpeg_mix_invariants():
@@ -709,14 +838,20 @@ def test_generator_jpeg_mix_invariants():
     stability for every golden that hashes corpus bytes)."""
     from cinescrapers_spark.images.table import generate_images_pdf
 
-    mixed = generate_images_pdf(n=24, seed=7, formats=("qimg", "ppm", "png", "jpeg"))
+    mixed = generate_images_pdf(
+        n=36, seed=7, formats=("qimg", "ppm", "png", "jpeg", "jpeg_prog")
+    )
     assert (mixed["fmt"] == "jpeg").sum() > 0
+    assert (mixed["fmt"] == "jpeg_prog").sum() > 0  # SOF2 on the harvest path
     for _, row in mixed.iterrows():
         dec = decode_image(bytes(row["bytes"]), row["fmt"])
         truth = row["_pixels"]
         assert dec.shape == truth.shape
         if row["fmt"] in ("ppm", "png"):
             assert np.array_equal(dec, truth)
+        elif row["fmt"] in ("jpeg", "jpeg_prog"):
+            # quality-85 4:4:4 JPEG sits ~39-45 dB on the noisier draws
+            assert psnr(truth, dec) >= 38.0, row["fmt"]
         else:
             assert psnr(truth, dec) >= 40.0, row["fmt"]
 
@@ -889,3 +1024,47 @@ def test_foreign_input_guards_jpeg():
     spliced = blob[:sos_at] + extra + blob[sos_at:]
     got = decode_jpeg(spliced)
     assert np.array_equal(got, base)
+
+
+def test_native_progressive_scan_equals_python():
+    """The C progressive-scan kernel must produce pixel-identical output
+    to the pure-Python reference scans on every scan shape — IJG-shaped
+    SA script, spectral-only, restart intervals, 4:2:0 — plus the
+    hand-packed golden. (Same pattern as the other five kernels: Python
+    loop is the semantics oracle.)"""
+    import cinescrapers_spark.images.jpeg as jpeg_mod
+    from cinescrapers_spark.images._native import native_lib
+    from cinescrapers_spark.images.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    if native_lib() is None:
+        pytest.skip("no C compiler in this environment; fallback covered elsewhere")
+
+    rng = np.random.default_rng(17)
+    img = np.clip(
+        _jpeg_gradient(56, 72).astype(int) + rng.integers(-25, 25, (56, 72, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    spectral = [
+        ([0, 1, 2], 0, 0, 0, 0), ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0),
+    ]
+    blobs = [
+        encode_jpeg_progressive(img, 85),
+        encode_jpeg_progressive(img, 60, "420"),
+        encode_jpeg_progressive(img, 85, scans=spectral),
+        encode_jpeg_progressive(img, 85, restart_interval=3),
+        encode_jpeg_progressive(img, 85, "420", scans=spectral,
+                                restart_interval=2),
+    ]
+    real = jpeg_mod._native_prog_scan
+    for i, blob in enumerate(blobs):
+        fast = decode_jpeg(blob)
+        jpeg_mod._native_prog_scan = lambda *a, **k: None
+        try:
+            slow = decode_jpeg(blob)
+        finally:
+            jpeg_mod._native_prog_scan = real
+        assert np.array_equal(fast, slow), f"kernel diverged on blob {i}"

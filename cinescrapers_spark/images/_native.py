@@ -411,6 +411,205 @@ long jpeg_decode_scan(const unsigned char *data, long nbytes, int n_comp,
     return 0;
 }
 
+/* GIF LZW ENCODE (mirror of gif.py's _lzw_encode byte-exactly, incl.
+   the width-bump-BEFORE-insert ordering and Clear on table overflow).
+   Dictionary: (prefix_code << 8 | byte) -> code via a 4096*256 table,
+   memset on every Clear. out cap must be >= 2*n + 64. */
+long gif_lzw_encode(const unsigned char *idx, long n, int mcs,
+                    unsigned char *out, long cap, short *dict) {
+    int clear = 1 << mcs, eoi = clear + 1;
+    int width = mcs + 1, next_code = eoi + 1;
+    long pos = 0, i;
+    unsigned long acc = 0;
+    int accbits = 0, prev = -1;
+    memset(dict, -1, 4096 * 256 * sizeof(short));
+#define GEMIT(code, w_)                                                   \
+    do {                                                                  \
+        acc |= (unsigned long)(code) << accbits;                          \
+        accbits += (w_);                                                  \
+        while (accbits >= 8) {                                            \
+            if (pos >= cap) return -1;                                    \
+            out[pos++] = (unsigned char)(acc & 0xFF);                     \
+            acc >>= 8;                                                    \
+            accbits -= 8;                                                 \
+        }                                                                 \
+    } while (0)
+    GEMIT(clear, width);
+    for (i = 0; i < n; i++) {
+        int b = idx[i], code;
+        long key;
+        if (prev < 0) { prev = b; continue; }
+        key = (long)prev * 256 + b;
+        code = dict[key];
+        if (code >= 0) { prev = code; continue; }
+        GEMIT(prev, width);
+        if (next_code == (1 << width) && width < 12) width++;
+        dict[key] = (short)next_code;
+        next_code++;
+        if (next_code > 0xFFF) {
+            GEMIT(clear, width);
+            memset(dict, -1, 4096 * 256 * sizeof(short));
+            next_code = eoi + 1;
+            width = mcs + 1;
+        }
+        prev = b;
+    }
+    if (prev >= 0) GEMIT(prev, width);
+    GEMIT(eoi, width);
+    if (accbits) {
+        if (pos >= cap) return -1;
+        out[pos++] = (unsigned char)(acc & 0xFF);
+    }
+#undef GEMIT
+    return pos;
+}
+
+/* Progressive JPEG entropy ENCODE: one call per SOS (restart streams
+   keep the Python path). Mirrors jpeg.py's _enc_dc_first/_enc_ac_first/
+   _enc_ac_refine byte-exactly, including the EOB-run aggregation and the
+   buffered correction bits of G.1.2.3. */
+long jpeg_prog_encode_dc(const int *dc0, long n, const unsigned char *pred_slot,
+                         int ah, int al, const unsigned short *codes,
+                         const unsigned char *lens, unsigned char *out,
+                         long cap) {
+    jwr w;
+    int pred[4] = {0, 0, 0, 0};
+    long i;
+    w.out = out; w.pos = 0; w.cap = cap; w.acc = 0; w.n = 0;
+    for (i = 0; i < n; i++) {
+        int v = dc0[i];
+        int t = v >> al; /* arithmetic shift, matches Python // semantics */
+        if (ah == 0) {
+            int ps = pred_slot[i] & 1;      /* table slot: 0 lum, 1 chrom */
+            int pslot = pred_slot[i] >> 1;  /* predictor slot: component */
+            const unsigned short *dc = codes + ps * 256;
+            const unsigned char *dl = lens + ps * 256;
+            int diff = t - pred[pslot];
+            int s = jcat(diff);
+            pred[pslot] = t;
+            if (jw_put(&w, dc[s], dl[s])) return -1;
+            if (s && jw_put(&w, diff >= 0 ? diff : diff + (1 << s) - 1, s))
+                return -1;
+        } else {
+            if (jw_put(&w, t & 1, 1)) return -1;
+        }
+    }
+    if (w.n) {
+        int pad = 8 - w.n;
+        if (jw_put(&w, (1 << pad) - 1, pad)) return -1;
+    }
+    return w.pos;
+}
+
+typedef struct {
+    jwr *w;
+    const unsigned short *ac;
+    const unsigned char *al_;
+    long eobrun;
+    unsigned char pending[1024];
+    int npend;
+} jprog;
+
+static int jp_flush_eobrun(jprog *st) {
+    int i;
+    if (st->eobrun > 0) {
+        int nbits = 0;
+        long e = st->eobrun;
+        while (e > 1) { nbits++; e >>= 1; }
+        if (jw_put(st->w, st->ac[nbits << 4], st->al_[nbits << 4])) return -1;
+        if (nbits &&
+            jw_put(st->w, (int)(st->eobrun & ((1L << nbits) - 1)), nbits))
+            return -1;
+        st->eobrun = 0;
+    }
+    for (i = 0; i < st->npend; i++)
+        if (jw_put(st->w, st->pending[i], 1)) return -1;
+    st->npend = 0;
+    return 0;
+}
+
+long jpeg_prog_encode_ac(const int *blocks, long n, int ss, int se, int ah,
+                         int al, const unsigned short *codes,
+                         const unsigned char *lens, unsigned char *out,
+                         long cap) {
+    jwr w;
+    jprog st;
+    long b;
+    int k;
+    w.out = out; w.pos = 0; w.cap = cap; w.acc = 0; w.n = 0;
+    st.w = &w; st.ac = codes; st.al_ = lens; st.eobrun = 0; st.npend = 0;
+    for (b = 0; b < n; b++) {
+        const int *blk = blocks + b * 64; /* zigzag order */
+        if (ah == 0) { /* first scan for this band */
+            int run = 0;
+            for (k = ss; k <= se; k++) {
+                int v = blk[k];
+                int t = (v < 0 ? -v : v) >> al;
+                int s;
+                if (t == 0) { run++; continue; }
+                if (jp_flush_eobrun(&st)) return -1;
+                while (run > 15) {
+                    if (jw_put(&w, codes[0xF0], lens[0xF0])) return -1;
+                    run -= 16;
+                }
+                s = jcat(t);
+                if (jw_put(&w, codes[(run << 4) | s], lens[(run << 4) | s]))
+                    return -1;
+                if (jw_put(&w, v > 0 ? t : (~t) & ((1 << s) - 1), s)) return -1;
+                run = 0;
+            }
+            if (run > 0) {
+                st.eobrun++;
+                if (st.eobrun == 0x7FFF && jp_flush_eobrun(&st)) return -1;
+            }
+        } else { /* refinement */
+            int absv[64], eobk = ss - 1, run = 0;
+            unsigned char br[64];
+            int nbr = 0, i;
+            for (k = ss; k <= se; k++) {
+                int v = blk[k];
+                int t = (v < 0 ? -v : v) >> al;
+                absv[k] = t;
+                if (t == 1) eobk = k;
+            }
+            for (k = ss; k <= se; k++) {
+                int t = absv[k];
+                if (t == 0) { run++; continue; }
+                while (run > 15 && k <= eobk) {
+                    if (jp_flush_eobrun(&st)) return -1;
+                    if (jw_put(&w, codes[0xF0], lens[0xF0])) return -1;
+                    run -= 16;
+                    for (i = 0; i < nbr; i++)
+                        if (jw_put(&w, br[i], 1)) return -1;
+                    nbr = 0;
+                }
+                if (t > 1) { br[nbr++] = (unsigned char)(t & 1); continue; }
+                if (jp_flush_eobrun(&st)) return -1;
+                if (jw_put(&w, codes[(run << 4) | 1], lens[(run << 4) | 1]))
+                    return -1;
+                if (jw_put(&w, blk[k] > 0 ? 1 : 0, 1)) return -1;
+                for (i = 0; i < nbr; i++)
+                    if (jw_put(&w, br[i], 1)) return -1;
+                nbr = 0;
+                run = 0;
+            }
+            if (run > 0 || nbr > 0) {
+                st.eobrun++;
+                for (i = 0; i < nbr; i++) st.pending[st.npend++] = br[i];
+                if ((st.eobrun == 0x7FFF || st.npend > 872) &&
+                    jp_flush_eobrun(&st))
+                    return -1;
+            }
+        }
+    }
+    if (jp_flush_eobrun(&st)) return -1;
+    if (w.n) {
+        int pad = 8 - w.n;
+        if (jw_put(&w, (1 << pad) - 1, pad)) return -1;
+    }
+    return w.pos;
+}
+
 /* Progressive JPEG (T.81 Annex G): decode ONE SOS, updating the shared
    coefficient stores. Mirrors jpeg.py's _progressive_scan exactly —
    interleaved-DC over the MCU grid for n_comp > 1, non-interleaved over
@@ -654,6 +853,21 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p, u8p, i32p,
     ]
+    lib.jpeg_prog_encode_dc.restype = ctypes.c_long
+    lib.jpeg_prog_encode_dc.argtypes = [
+        i32p, ctypes.c_long, u8p, ctypes.c_int, ctypes.c_int, u16p, u8p,
+        u8p, ctypes.c_long,
+    ]
+    lib.jpeg_prog_encode_ac.restype = ctypes.c_long
+    lib.jpeg_prog_encode_ac.argtypes = [
+        i32p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, u16p, u8p, u8p, ctypes.c_long,
+    ]
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.gif_lzw_encode.restype = ctypes.c_long
+    lib.gif_lzw_encode.argtypes = [
+        u8p, ctypes.c_long, ctypes.c_int, u8p, ctypes.c_long, i16p,
+    ]
     return lib
 
 
@@ -864,3 +1078,97 @@ def jpeg_prog_scan(
     if rc == -4:
         raise ValueError("JPEG AC refinement symbol s != 1")
     return pos + int(rc)
+
+
+def jpeg_prog_encode_dc(
+    dc0: "np.ndarray",
+    pred_slot: "np.ndarray",
+    ah: int,
+    al: int,
+    codes: "np.ndarray",
+    lens: "np.ndarray",
+):
+    """Progressive DC scan → stuffed entropy bytes (flush included), or
+    None when unavailable. ``pred_slot`` packs (component_pred << 1) |
+    table_slot per emission-order block; codes/lens (2, 256)."""
+    lib = native_lib()
+    if lib is None:
+        return None
+    n = dc0.shape[0]
+    cap = n * 8 + 64
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.jpeg_prog_encode_dc(
+        np.ascontiguousarray(dc0.astype(np.int32, copy=False)),
+        n,
+        np.ascontiguousarray(pred_slot.astype(np.uint8, copy=False)),
+        ah,
+        al,
+        np.ascontiguousarray(codes.reshape(-1).astype(np.uint16, copy=False)),
+        np.ascontiguousarray(lens.reshape(-1).astype(np.uint8, copy=False)),
+        out,
+        cap,
+    )
+    if rc < 0:
+        raise ValueError("JPEG progressive DC encode buffer overflow")
+    return out[:rc].tobytes()
+
+
+def jpeg_prog_encode_ac(
+    blocks: "np.ndarray",
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    codes: "np.ndarray",
+    lens: "np.ndarray",
+):
+    """Progressive AC scan (first or refine) over zigzag-order blocks
+    (n, 64) int32 → stuffed entropy bytes, or None when unavailable."""
+    lib = native_lib()
+    if lib is None:
+        return None
+    n = blocks.shape[0]
+    cap = n * 512 + 64
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.jpeg_prog_encode_ac(
+        np.ascontiguousarray(blocks.reshape(-1).astype(np.int32, copy=False)),
+        n,
+        ss,
+        se,
+        ah,
+        al,
+        np.ascontiguousarray(codes.astype(np.uint16, copy=False)),
+        np.ascontiguousarray(lens.astype(np.uint8, copy=False)),
+        out,
+        cap,
+    )
+    if rc < 0:
+        raise ValueError("JPEG progressive AC encode buffer overflow")
+    return out[:rc].tobytes()
+
+
+def gif_lzw_encode(indices: bytes, min_code_size: int):
+    """GIF index bytes → LZW code stream, or None when unavailable.
+    Byte-identical to gif.py's _lzw_encode (equality-gated in tests)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(
+            f"GIF LZW min code size {min_code_size} out of range 2..11"
+        )
+    lib = native_lib()
+    if lib is None:
+        return None
+    buf = (
+        np.frombuffer(indices, dtype=np.uint8)
+        if indices
+        else np.zeros(1, np.uint8)
+    )
+    n = len(indices)
+    cap = 2 * n + 64
+    out = np.empty(cap, dtype=np.uint8)
+    dict_buf = np.empty(4096 * 256, dtype=np.int16)
+    rc = lib.gif_lzw_encode(
+        np.ascontiguousarray(buf), n, min_code_size, out, cap, dict_buf
+    )
+    if rc < 0:
+        raise ValueError("GIF LZW encode buffer overflow")
+    return out[:rc].tobytes()

@@ -225,7 +225,15 @@ def encode_gif(arr: np.ndarray) -> bytes:
     out += palette.tobytes()
     out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # image desc
     out.append(mcs)
-    out += _sub_blocks(_lzw_encode(inverse.astype(np.uint8).tobytes(), mcs))
+    # hot path: the C LZW encode kernel (byte-identical, gated in tests);
+    # None → the pure-Python reference scan
+    from cinescrapers_spark.images._native import gif_lzw_encode
+
+    idx_bytes = inverse.astype(np.uint8).tobytes()
+    stream = gif_lzw_encode(idx_bytes, mcs)
+    if stream is None:
+        stream = _lzw_encode(idx_bytes, mcs)
+    out += _sub_blocks(stream)
     out += b"\x3b"
     return bytes(out)
 

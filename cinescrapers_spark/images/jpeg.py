@@ -646,6 +646,79 @@ def _enc_ac_refine(st: _ProgACState, blk, ss, se, al):
             st.flush_eobrun()
 
 
+def _native_prog_emit(
+    coeffs, comps_meta, scan_comps, ss, se, ah, al, mcux, mcuy, h, w,
+):
+    """Try the C progressive-encode kernels (one call per scan): builds
+    the emission-order DC/zigzag-block arrays with vectorized gathers and
+    hands the sequential bit-emission to C. Byte-identical to the Python
+    path (gated in tests); returns None without a compiler (caller runs
+    the Python loop). Restart streams keep the Python path."""
+    from cinescrapers_spark.images._native import (
+        jpeg_prog_encode_ac,
+        jpeg_prog_encode_dc,
+        native_lib,
+    )
+
+    if native_lib() is None:
+        return None
+    hmax = max(m[0] for m in comps_meta)
+    vmax = max(m[1] for m in comps_meta)
+
+    def comp_rows(ci):
+        sh, sv, _ = comps_meta[ci]
+        stride = mcux * sh
+        cw = -(-(w * sh) // hmax)
+        ch_ = -(-(h * sv) // vmax)
+        cbh, cbw = -(-ch_ // 8), -(-cw // 8)
+        return (
+            np.arange(cbh)[:, None] * stride + np.arange(cbw)[None, :]
+        ).reshape(-1)
+
+    if ss == 0:  # DC scan
+        if len(scan_comps) > 1:  # interleaved emission order
+            per_comp, slots = [], []
+            for ci in scan_comps:
+                sh, sv, _ = comps_meta[ci]
+                my, mx = np.meshgrid(
+                    np.arange(mcuy), np.arange(mcux), indexing="ij"
+                )
+                by = np.arange(sv).reshape(1, 1, sv, 1)
+                bx = np.arange(sh).reshape(1, 1, 1, sh)
+                rows = (
+                    (my[:, :, None, None] * sv + by) * (mcux * sh)
+                    + (mx[:, :, None, None] * sh + bx)
+                ).reshape(mcuy, mcux, sv * sh)
+                per_comp.append(coeffs[ci][rows][..., 0])
+                tsel = 0 if ci == 0 else 1
+                slots += [(ci << 1) | tsel] * (sv * sh)
+            dc0 = np.concatenate(per_comp, axis=2).reshape(-1)
+            pred_slot = np.tile(np.array(slots, np.uint8), mcux * mcuy)
+        else:
+            ci = scan_comps[0]
+            rows = comp_rows(ci)
+            dc0 = coeffs[ci][rows][:, 0]
+            pred_slot = np.full(
+                rows.shape[0], 0 if ci == 0 else 1, np.uint8
+            )  # predictor slot 0, table slot by component
+        codes2 = np.zeros((2, 256), np.uint16)
+        lens2 = np.zeros((2, 256), np.uint8)
+        for slot, tbl in ((0, _DC_LUM), (1, _DC_CHROM)):
+            for sym, (code, ln) in _build_codes(*tbl).items():
+                codes2[slot, sym] = code
+                lens2[slot, sym] = ln
+        return jpeg_prog_encode_dc(dc0, pred_slot, ah, al, codes2, lens2)
+
+    ci = scan_comps[0]  # AC scans are single-component
+    blocks = np.ascontiguousarray(coeffs[ci][comp_rows(ci)][:, ZIGZAG])
+    ac_codes = np.zeros(256, np.uint16)
+    ac_lens = np.zeros(256, np.uint8)
+    for sym, (code, ln) in _build_codes(*_AC_PROG).items():
+        ac_codes[sym] = code
+        ac_lens[sym] = ln
+    return jpeg_prog_encode_ac(blocks, ss, se, ah, al, ac_codes, ac_lens)
+
+
 def _emit_progressive_scan(
     coeffs, comps_meta, scan_comps, ss, se, ah, al, mcux, mcuy, h, w,
     restart_interval,
@@ -653,7 +726,15 @@ def _emit_progressive_scan(
     """Entropy bytes for one progressive scan. ``comps_meta`` is the
     per-component (samp_h, samp_v, dc_codes) list; geometry mirrors the
     decoder exactly (interleaved MCU grid for multi-component DC scans,
-    actual block dims for single-component scans)."""
+    actual block dims for single-component scans). The hot path hands
+    the bit emission to the C kernels; this Python loop is the
+    byte-identical reference and the restart-interval path."""
+    if restart_interval == 0:
+        fast = _native_prog_emit(
+            coeffs, comps_meta, scan_comps, ss, se, ah, al, mcux, mcuy, h, w
+        )
+        if fast is not None:
+            return fast
     hmax = max(m[0] for m in comps_meta)
     vmax = max(m[1] for m in comps_meta)
     ac_codes = _build_codes(*_AC_PROG)

@@ -147,3 +147,40 @@ def start_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+EMB = "vec_id long, label long, embedding array<double>"
+
+
+def start_ann_index_stream(
+    spark: SparkSession,
+    vecs_dir: str,
+    index,
+    checkpoint_dir: str,
+    schema: str = EMB,
+) -> StreamingQuery:
+    """Streaming phrasing of incremental ANN indexing
+    (``plans/incremental_ivf.IncrementalIVFIndex``): a file-source stream
+    of embedding-batch drops → per micro-batch, assign against the
+    persisted centroid generation and commit the batch's cell run
+    (first batch trains the quantizer, exactly as in batch mode).
+
+    Exactly-once by the same argument as the near-dup stream: foreachBatch
+    is at-least-once, but ``add_batch`` is a pure function of (batch,
+    persisted centroids) and both its commits are idempotent per
+    (tick, tag) — a replayed batch recomputes byte-identical assignments
+    and skips commits that already landed, so a kill at ANY point (between
+    the centroid and cell commits included) resumes to the identical
+    index state."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        index.add_batch(batch_df, tick=int(batch_id) + 1)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(vecs_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

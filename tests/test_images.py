@@ -1068,3 +1068,75 @@ def test_native_progressive_scan_equals_python():
         finally:
             jpeg_mod._native_prog_scan = real
         assert np.array_equal(fast, slow), f"kernel diverged on blob {i}"
+
+
+def test_native_progressive_encode_byte_exact():
+    """The C progressive-encode kernels (DC first/refine, AC first/refine
+    with EOB runs + buffered correction bits) must emit BYTE-IDENTICAL
+    streams to the Python _BitWriter path across scripts and samplings."""
+    import cinescrapers_spark.images.jpeg as jpeg_mod
+    from cinescrapers_spark.images._native import native_lib
+    from cinescrapers_spark.images.jpeg import encode_jpeg_progressive
+
+    if native_lib() is None:
+        pytest.skip("no C compiler in this environment; fallback covered elsewhere")
+
+    rng = np.random.default_rng(23)
+    img = np.clip(
+        _jpeg_gradient(41, 53).astype(int) + rng.integers(-20, 20, (41, 53, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    spectral = [
+        ([0, 1, 2], 0, 0, 0, 0), ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0),
+    ]
+    real = jpeg_mod._native_prog_emit
+    for kw in (
+        {}, {"quality": 50}, {"subsampling": "420"}, {"scans": spectral}
+    ):
+        a = encode_jpeg_progressive(img, **kw)
+        jpeg_mod._native_prog_emit = lambda *x: None
+        try:
+            b = encode_jpeg_progressive(img, **kw)
+        finally:
+            jpeg_mod._native_prog_emit = real
+        assert a == b, f"progressive encode kernel not byte-exact: {kw}"
+    # flat image: EOB-run aggregation crosses blocks in BOTH paths
+    flat = np.full((64, 64, 3), 130, np.uint8)
+    a = encode_jpeg_progressive(flat, 85)
+    jpeg_mod._native_prog_emit = lambda *x: None
+    try:
+        b = encode_jpeg_progressive(flat, 85)
+    finally:
+        jpeg_mod._native_prog_emit = real
+    assert a == b
+
+
+def test_native_gif_encode_byte_exact():
+    """The C GIF LZW encode kernel must emit the IDENTICAL code stream to
+    the Python dict-probe loop — including the width-bump-before-insert
+    ordering and the Clear-on-overflow reset — on streams that saturate
+    the 4096-entry dictionary."""
+    from cinescrapers_spark.images._native import gif_lzw_encode, native_lib
+    from cinescrapers_spark.images.gif import _lzw_decode, _lzw_encode
+
+    if native_lib() is None:
+        pytest.skip("no C compiler in this environment; fallback covered elsewhere")
+
+    rng = np.random.default_rng(29)
+    cases = [
+        (bytes(100), 2),                                        # 1 symbol
+        (rng.integers(0, 4, 5000, dtype=np.uint8).tobytes(), 2),
+        (rng.integers(0, 16, 60000, dtype=np.uint8).tobytes(), 4),  # resets
+        (rng.integers(0, 256, 30000, dtype=np.uint8).tobytes(), 8),
+        (b"", 3),
+        (b"\x05", 3),
+    ]
+    for idx, mcs in cases:
+        a = gif_lzw_encode(idx, mcs)
+        b = _lzw_encode(idx, mcs)
+        assert a == b, f"gif encode kernel diverged at mcs={mcs} n={len(idx)}"
+        if idx:
+            assert _lzw_decode(a, mcs, len(idx)) == idx
+    with pytest.raises(ValueError, match="min code size"):
+        gif_lzw_encode(b"\x00", 12)

@@ -241,6 +241,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from cinescrapers_spark.images.jpeg import encode_jpeg_progressive
 
         return encode_jpeg_progressive(arr)
+    if fmt == "webp":
+        from cinescrapers_spark.images.webp import encode_webp
+
+        return encode_webp(arr)
     raise NotImplementedError(f"no encoder for fmt={fmt!r} in sandbox")
 
 
@@ -260,6 +264,10 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         from cinescrapers_spark.images.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if kind == "webp":
+        from cinescrapers_spark.images.webp import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(
         f"decoder for {kind!r} needs an image library not present in this "
         "environment; the Spark plumbing (schema/batching) is format-agnostic"

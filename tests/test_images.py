@@ -1140,3 +1140,377 @@ def test_native_gif_encode_byte_exact():
             assert _lzw_decode(a, mcs, len(idx)) == idx
     with pytest.raises(ValueError, match="min code size"):
         gif_lzw_encode(b"\x00", 12)
+
+
+# --------------------------------------------------------------------------
+# WebP VP8L (images/webp.py — real lossless decoder per the public spec)
+# --------------------------------------------------------------------------
+class _VP8LPacker:
+    """Independent LSB-first packer for hand-built VP8L goldens — written
+    from the spec in this test, NOT sharing code with images/webp.py."""
+
+    def __init__(self):
+        self.bits = []
+
+    def lit(self, v, k):  # literal field, LSB-first
+        for i in range(k):
+            self.bits.append((v >> i) & 1)
+
+    def code(self, c, ln):  # prefix code, MSB-first
+        for i in range(ln - 1, -1, -1):
+            self.bits.append((c >> i) & 1)
+
+    def payload(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+    def header(self, w, h):
+        self.lit(0x2F, 8)
+        self.lit(w - 1, 14)
+        self.lit(h - 1, 14)
+        self.lit(0, 1)  # alpha hint
+        self.lit(0, 3)  # version
+
+    def simple1(self, sym):  # single-symbol simple code
+        self.lit(1, 1)
+        self.lit(0, 1)
+        if sym < 2:
+            self.lit(0, 1)
+            self.lit(sym, 1)
+        else:
+            self.lit(1, 1)
+            self.lit(sym, 8)
+
+    def normal_code(self, lengths):
+        """Emit a normal code via a flat 3-bit code-length code over the
+        8 lowest CLC symbols {17,18,0,1,2,3,4,5} (the first 8 in the
+        spec's storage order) — enough for lengths <= 5 plus zero runs."""
+        self.lit(0, 1)  # not simple
+        self.lit(8 - 4, 4)  # 8 CLC lengths stored
+        for _ in range(8):
+            self.lit(3, 3)  # every stored CLC symbol at length 3
+        self.lit(0, 1)  # no max_symbol cap
+        # canonical codes for 8 symbols at 3 bits, ordered by symbol VALUE:
+        order = sorted([17, 18, 0, 1, 2, 3, 4, 5])
+        clc = {s: i for i, s in enumerate(order)}
+        i = 0
+        while i < len(lengths):
+            if lengths[i] == 0:
+                run = 0
+                while i < len(lengths) and lengths[i] == 0:
+                    run += 1
+                    i += 1
+                while run > 0:
+                    if run < 3:  # too short for 17: emit literal zeros
+                        self.code(clc[0], 3)
+                        run -= 1
+                    elif run <= 10:
+                        self.code(clc[17], 3)
+                        self.lit(run - 3, 3)
+                        run = 0
+                    else:
+                        n = min(run, 138)
+                        self.code(clc[18], 3)
+                        self.lit(n - 11, 7)
+                        run -= n
+            else:
+                self.code(clc[lengths[i]], 3)
+                i += 1
+
+    def wrap(self):
+        payload = self.payload()
+        pad = b"\x00" if len(payload) & 1 else b""
+        import struct as _s
+
+        chunk = b"VP8L" + _s.pack("<I", len(payload)) + payload + pad
+        return b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_webp_roundtrip_lossless():
+    """encode_webp/decode_webp roundtrip is exact (literal-only VP8L with
+    complete canonical codes)."""
+    from cinescrapers_spark.images.codecs import decode_image, sniff_format
+    from cinescrapers_spark.images.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (5, 7), (33, 61)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = encode_webp(img)
+        assert sniff_format(blob) == "webp"
+        assert np.array_equal(decode_webp(blob), img)
+        assert np.array_equal(decode_image(blob), img)  # sniff-routed
+
+
+def test_webp_golden_lz77_and_color_cache():
+    """Hand-packed VP8L exercising the features our encoder never emits:
+    an LZ77 backward reference (2D distance map) and a color-cache hit.
+    4x1 image, one literal pixel, a length-2 copy, then a cache hit —
+    every pixel must decode to (1, 2, 3)."""
+    from cinescrapers_spark.images.webp import decode_webp
+
+    cache_bits = 4
+    argb = 0xFF010203
+    cache_idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    p = _VP8LPacker()
+    p.header(4, 1)
+    p.lit(0, 1)  # no transforms
+    p.lit(1, 1)  # color cache present
+    p.lit(cache_bits, 4)
+    p.lit(0, 1)  # no meta huffman
+    # green code over 256+24+16 symbols: literal g=2 at length 1,
+    # length-code 257 (L=2) and the cache symbol at length 2
+    glens = [0] * (256 + 24 + 16)
+    glens[2] = 1
+    glens[257] = 2
+    glens[280 + cache_idx] = 2
+    p.normal_code(glens)
+    p.simple1(1)    # red: always 1, zero bits
+    p.simple1(3)    # blue: always 3, zero bits
+    p.simple1(255)  # alpha
+    p.simple1(1)    # distance: prefix code 1 -> 2D map entry 2 = (1, 0)
+    # canonical green codes: g=2 -> 0 (1 bit); 257 -> 10; cache -> 11
+    p.code(0b0, 1)   # literal pixel (r/b/a zero-bit)
+    p.code(0b10, 2)  # LZ77: length code 257 -> L = 2, dist sym zero-bit
+    p.code(0b11, 2)  # cache hit
+    got = decode_webp(p.wrap())
+    assert np.array_equal(got, np.full((1, 4, 3), [1, 2, 3], np.uint8))
+
+
+def test_webp_golden_subtract_green():
+    """Hand-packed VP8L with the SUBTRACT_GREEN transform: stored r/b are
+    r-g, b-g mod 256; the decoder must add green back."""
+    from cinescrapers_spark.images.webp import decode_webp
+
+    # target pixel (r, g, b) = (200, 60, 10) -> stored (140, 60, 206)
+    p = _VP8LPacker()
+    p.header(1, 1)
+    p.lit(1, 1)  # transform present
+    p.lit(2, 2)  # SUBTRACT_GREEN
+    p.lit(0, 1)  # no more transforms
+    p.lit(0, 1)  # no cache
+    p.lit(0, 1)  # no meta
+    glens = [0] * (256 + 24)
+    glens[60] = 1
+    p.normal_code(glens)  # single-length-1... completed by single-symbol rule
+    p.simple1(140)
+    p.simple1(206)
+    p.simple1(255)
+    p.simple1(0)
+    # all five codes are single-symbol -> zero data bits for the 1 pixel
+    got = decode_webp(p.wrap())
+    assert np.array_equal(got, np.array([[[200, 60, 10]]], np.uint8))
+
+
+def test_webp_golden_predictor_transform():
+    """Hand-packed VP8L with the PREDICTOR transform, mode 2 (top): the
+    stored residuals add to the decoded top neighbor; first pixel adds to
+    black (alpha-only), first row adds to left."""
+    from cinescrapers_spark.images.webp import decode_webp
+
+    # 2x2 image; predictor tile bits=2 (4x4 tile -> single tile, mode 2).
+    # stored greens: (0,0)=10, (0,1)=20, (1,0)=5, (1,1)=7
+    # decode: P00 = 10 (pred black); P01 = 10+20 = 30 (first row: left);
+    # P10 = 10+5 = 15 (mode 2: top); P11 = 30+7 = 37
+    p = _VP8LPacker()
+    p.header(2, 2)
+    p.lit(1, 1)
+    p.lit(0, 2)  # PREDICTOR
+    p.lit(0, 3)  # size_bits - 2 = 0 -> 4x4 tiles
+    # predictor sub-image (1x1) follows ITS transform params immediately:
+    # mode in GREEN channel; sub-images carry a cache bit but NO meta bit
+    p.lit(0, 1)
+    modelens = [0] * (256 + 24)
+    modelens[2] = 1  # mode 2 = top
+    p.normal_code(modelens)
+    p.simple1(0)
+    p.simple1(0)
+    p.simple1(255)
+    p.simple1(0)
+    p.lit(0, 1)  # no more transforms
+    # main image: greens {10, 20, 5, 7}; r/b constant 0, alpha 255
+    p.lit(0, 1)  # no cache
+    p.lit(0, 1)  # no meta
+    glens = [0] * (256 + 24)
+    for g in (10, 20, 5, 7):
+        glens[g] = 2
+    p.normal_code(glens)
+    p.simple1(0)
+    p.simple1(0)
+    p.simple1(255)  # NOTE: residual alpha 255 + pred alpha -> wraps to 255?
+    p.simple1(0)
+    # canonical 2-bit codes by symbol order: 5->00, 7->01, 10->10, 20->11
+    codes = {5: 0b00, 7: 0b01, 10: 0b10, 20: 0b11}
+    for g in (10, 20, 5, 7):
+        p.code(codes[g], 2)
+    got = decode_webp(p.wrap())
+    want = np.array(
+        [[[0, 10, 0], [0, 30, 0]], [[0, 15, 0], [0, 37, 0]]], np.uint8
+    )
+    assert np.array_equal(got, want)
+
+
+def test_webp_golden_palette_with_bundling():
+    """Hand-packed VP8L with COLOR_INDEXING: a 2-color palette bundles 8
+    pixels per coded byte (bundle_bits=3); palette entries arrive
+    delta-coded."""
+    from cinescrapers_spark.images.webp import decode_webp
+
+    # 8x1 image, palette: color0=(9,8,7), color1=(30,40,50); indices
+    # 1,0,1,1,0,0,1,0 -> packed byte LSB-first per pixel: 0b01001101
+    p = _VP8LPacker()
+    p.header(8, 1)
+    p.lit(1, 1)
+    p.lit(3, 2)  # COLOR_INDEXING
+    p.lit(1, 8)  # palette size - 1 = 1
+    # palette sub-image (2x1) follows immediately, delta-coded: first =
+    # (9,8,7); second = (30-9, 40-8, 50-7) = (21, 32, 43); alphas 255, 0
+    # (sub-images carry a cache bit but NO meta bit)
+    p.lit(0, 1)
+    pl = [0] * (256 + 24)
+    pl[8] = 1
+    pl[32] = 1
+    p.normal_code(pl)  # greens 8 then 32
+    # reds 9 then 21, blues 7 then 43, alphas 255 then 0: two-symbol simple
+    p.lit(1, 1); p.lit(1, 1); p.lit(1, 1); p.lit(9, 8); p.lit(21, 8)
+    p.lit(1, 1); p.lit(1, 1); p.lit(1, 1); p.lit(7, 8); p.lit(43, 8)
+    p.lit(1, 1); p.lit(1, 1); p.lit(1, 1); p.lit(255, 8); p.lit(0, 8)
+    p.simple1(0)  # distance
+    # palette pixels: codes by canonical (green code: 8->0, 32->1 at len 1)
+    # pixel 1: green 8, red 9, blue 7, alpha 255 -> code 0, r/b/a codes:
+    # two-symbol codes: first listed symbol is... canonical by symbol value
+    # red: syms {9: code0, 21: code1}; blue {7:0, 43:1}; alpha {0:0, 255:1}
+    p.code(0, 1); p.code(0, 1); p.code(0, 1); p.code(1, 1)  # entry 0
+    p.code(1, 1); p.code(1, 1); p.code(1, 1); p.code(0, 1)  # entry 1
+    p.lit(0, 1)  # no more transforms
+    # main image (packed 1x1): green literal = 0b01001101, no cache/meta
+    p.lit(0, 1)
+    p.lit(0, 1)
+    gm = [0] * (256 + 24)
+    gm[0b01001101] = 1
+    p.normal_code(gm)
+    p.simple1(0)
+    p.simple1(0)
+    p.simple1(255)
+    p.simple1(0)
+    got = decode_webp(p.wrap())
+    c0, c1 = [9, 8, 7], [30, 40, 50]
+    want = np.array([[c1, c0, c1, c1, c0, c0, c1, c0]], np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_webp_lossy_vp8_still_gated():
+    """Lossy VP8 chunks raise the honest subset error; crafted VP8L with
+    a decompression-bomb header raises up front."""
+    import struct as _s
+
+    from cinescrapers_spark.images.webp import decode_vp8l, decode_webp
+
+    chunk = b"VP8 " + _s.pack("<I", 4) + b"\x00\x00\x00\x00"
+    riff = b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(NotImplementedError, match="VP8L"):
+        decode_webp(riff)
+
+    p = _VP8LPacker()
+    p.header(16383, 16383)  # 268 Mpx from a 6-byte header
+    with pytest.raises(ValueError, match="pixel cap"):
+        decode_vp8l(p.payload())
+
+
+def test_webp_golden_color_transform():
+    """Hand-packed VP8L with the COLOR transform: per-tile cross-channel
+    deltas (green_to_red in the cte's blue channel, green_to_blue in
+    green, red_to_blue in red), signed-8-bit multiplies, >>5. Expected
+    values computed with an independent inline formula."""
+    from cinescrapers_spark.images.webp import decode_webp
+
+    g2r, g2b, r2b = 64, 32, 16
+    stored = {"g": 200, "r": 100, "b": 10}
+
+    def s8(v):
+        return ((v & 0xFF) ^ 0x80) - 0x80
+
+    exp_r = (stored["r"] + ((g2r * s8(stored["g"])) >> 5)) & 0xFF
+    exp_b = (
+        stored["b"]
+        + ((g2b * s8(stored["g"])) >> 5)
+        + ((r2b * s8(exp_r)) >> 5)
+    ) & 0xFF
+
+    p = _VP8LPacker()
+    p.header(1, 1)
+    p.lit(1, 1)
+    p.lit(1, 2)  # COLOR transform
+    p.lit(0, 3)  # 4x4 tiles
+    # cte sub-image (1x1): red=r2b, green=g2b, blue=g2r; cache bit only
+    p.lit(0, 1)
+    ml = [0] * (256 + 24)
+    ml[g2b] = 1
+    p.normal_code(ml)   # green channel = green_to_blue
+    p.simple1(r2b)      # red channel = red_to_blue
+    p.simple1(g2r)      # blue channel = green_to_red
+    p.simple1(255)
+    p.simple1(0)
+    p.lit(0, 1)  # no more transforms
+    # main image: one literal pixel (all codes single-symbol)
+    p.lit(0, 1)
+    p.lit(0, 1)
+    gl = [0] * (256 + 24)
+    gl[stored["g"]] = 1
+    p.normal_code(gl)
+    p.simple1(stored["r"])
+    p.simple1(stored["b"])
+    p.simple1(255)
+    p.simple1(0)
+    got = decode_webp(p.wrap())
+    assert np.array_equal(
+        got, np.array([[[exp_r, stored["g"], exp_b]]], np.uint8)
+    )
+
+
+def test_webp_golden_meta_huffman():
+    """Hand-packed VP8L with a meta-Huffman entropy image: an 8x1 image
+    whose two 4-px tiles select different code groups (group index =
+    (red<<8)|green of the entropy-image pixel)."""
+    from cinescrapers_spark.images.webp import decode_webp
+
+    p = _VP8LPacker()
+    p.header(8, 1)
+    p.lit(0, 1)  # no transforms
+    p.lit(0, 1)  # no cache
+    p.lit(1, 1)  # meta huffman present
+    p.lit(0, 3)  # huffman_bits - 2 = 0 -> 4 px tiles -> entropy img 2x1
+    # entropy image (2x1): greens 0 and 1 (group ids), red 0
+    p.lit(0, 1)  # its cache bit
+    # two-symbol simple green code: symbols 0 and 1
+    p.lit(1, 1)  # simple
+    p.lit(1, 1)  # two symbols
+    p.lit(0, 1)  # first symbol in 1 bit
+    p.lit(0, 1)  # symbol0 = 0
+    p.lit(1, 8)  # symbol1 = 1
+    p.simple1(0)
+    p.simple1(0)
+    p.simple1(255)
+    p.simple1(0)
+    p.code(0, 1)  # tile 0 -> group 0
+    p.code(1, 1)  # tile 1 -> group 1
+    # two code groups, all single-symbol: group 0 green 11, group 1 green 22
+    for gval in (11, 22):
+        gl = [0] * (256 + 24)
+        gl[gval] = 1
+        p.normal_code(gl)
+        p.simple1(0)
+        p.simple1(0)
+        p.simple1(255)
+        p.simple1(0)
+    # 8 pixels, zero data bits each (every code single-symbol)
+    got = decode_webp(p.wrap())
+    want = np.zeros((1, 8, 3), np.uint8)
+    want[0, :4, 1] = 11
+    want[0, 4:, 1] = 22
+    assert np.array_equal(got, want)

@@ -74,17 +74,19 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         "q_conditional_counts",
     ]
     rotate_out = [
-        # round-5 parked cohort: q_dedup_incremental by pin; the other 10
-        # are from the r3-parked set that surfaced (driver-green) in r4 —
+        # round-5 parked cohort: q_dedup_incremental by pin; the other 11
+        # are the r3-parked set that surfaced (driver-green) in r4 —
         # alternation continues: each cohort gets a driver row every
         # other round, and the parked set is locally re-verified each
         # round (bench_runs/round{N}/check_oracles_parked.json). The
-        # 11-slot budget fits the pin + 10, so q_union_all_counts stays
-        # surfaced a second consecutive round.
+        # round-5-new q_dedup_components takes a window slot (new queries
+        # surface first), which returns q_union_all_counts (three times
+        # driver-green) to the parked cohort.
         "q_dedup_incremental",
         "q_null_guard", "q_label_centroid_sim", "q_piecewise_score",
         "q_minmax_midpoint", "q_quality_score", "q_lang_id", "q_word_stats",
         "q_stopword_ratio", "q_intersect_nations", "q_except_nations",
+        "q_union_all_counts",
     ]
     ordered = {k: out[k] for k in must_surface if k in out and out[k][1] is not None}
     ordered.update(

@@ -505,6 +505,87 @@ def q_dedup_simhash_band(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CC_MAX_ITERS = 20  # label propagation rounds; near-dup clusters are shallow
+
+
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CONNECTED-COMPONENTS collapse: the operation a real
+    training-data pipeline runs AFTER pair generation — transitive
+    closure of the near-dup relation, one canonical id (the component's
+    min doc_id) per document, so an A~B~C chain dedupes to ONE keeper
+    even when A~C was never itself a pair.
+
+    Spark-first iterative min-label propagation over the symmetric edge
+    list: each round every node takes min(own label, neighbors' labels);
+    converges in O(component diameter) rounds (near-dup families are
+    shallow — the cap is an assert, not a truncation). Each round
+    ``localCheckpoint``s to truncate the lineage a loop of joins would
+    otherwise stack (the classic iterative-algorithm failure mode on a
+    real cluster). At 100 TB the same loop runs with the edge list
+    bucketed by node and the alternative large-star/small-star variant
+    kicks in for power-law components; the corpus is never touched —
+    input is the (tiny) pair set from the bucketed LSH plan.
+
+    Oracle: transitive closure as a recursive CTE over the exact-Jaccard
+    pair SQL (DuckDB WITH RECURSIVE), min reachable id per node."""
+    pairs = q_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) edge list → (doc_id, component_id) via iterative
+    min-label propagation (see q_dedup_components for the scale notes)."""
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("component_id").alias("nbr_comp"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nbr_comp").alias("min_nbr"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("min_nbr"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"near-dup components did not converge in {CC_MAX_ITERS} rounds"
+        )
+    return labels
+
+
 _JACCARD_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, source,
@@ -536,6 +617,18 @@ ORACLES = {
     # bounds at ~3e-4 — treat a failure here as a real signal.
     "q_dedup_minhash_lsh": _JACCARD_ORACLE,
     "q_dedup_minhash_lsh_grouped": _JACCARD_ORACLE,
+    # transitive closure over the exact pair set: min reachable doc_id
+    "q_dedup_components": f"""
+        WITH RECURSIVE pr AS (SELECT * FROM ({_JACCARD_ORACLE})),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pr
+          UNION ALL SELECT doc_b, doc_a FROM pr),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        walk(n, m) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.b, w.m FROM walk w JOIN edges e ON e.a = w.n)
+        SELECT n AS doc_id, MIN(m) AS component_id FROM walk GROUP BY n""",
     # q_dedup_simhash: no SQL equivalent (bit-level majority votes) — rows-only.
 }
 
@@ -547,6 +640,7 @@ QUERIES = {
         ("q_dedup_jaccard", q_dedup_jaccard),
         ("q_dedup_minhash_lsh", q_dedup_minhash_lsh),
         ("q_dedup_minhash_lsh_grouped", q_dedup_minhash_lsh_grouped),
+        ("q_dedup_components", q_dedup_components),
         ("q_dedup_simhash", q_dedup_simhash),
         ("q_dedup_simhash_band", q_dedup_simhash_band),
     ]

@@ -718,3 +718,50 @@ def test_incremental_ivf_crash_resume(spark, tmp_path):
     sa = {tuple(r) for r in a.search(queries, nprobe=2).collect()}
     sb = {tuple(r) for r in b.search(queries, nprobe=2).collect()}
     assert sa == sb, "crash-resume search results diverged"
+
+
+def test_dedup_components_transitive_closure(spark, sf_dir):
+    """q_dedup_components must equal a pure-Python union-find over the
+    exact-Jaccard pairs (transitive closure, min-id canonical label);
+    connected_components on a synthetic CHAIN edge list must collapse
+    multi-hop chains (A-B-C-D with A-D never an edge) to ONE component
+    and keep disjoint islands apart."""
+    import pandas as pd
+
+    from cinescrapers_spark.plans.dedup import (
+        connected_components,
+        q_dedup_components,
+        q_dedup_jaccard,
+    )
+
+    pairs = [(r.doc_a, r.doc_b) for r in q_dedup_jaccard(spark, sf_dir).collect()]
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = {
+        r.doc_id: r.component_id
+        for r in q_dedup_components(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the sf corpus has near-dup pairs
+
+    # multi-hop chain + island: label propagation needs diameter rounds
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], columns=["doc_a", "doc_b"]
+        )
+    )
+    comp = {
+        r.doc_id: r.component_id for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

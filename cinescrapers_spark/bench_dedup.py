@@ -176,7 +176,40 @@ def main() -> None:
     wall_truth = round(time.time() - t0, 2)
     recall = round(n_found / n_truth, 5) if n_truth else None
 
-    total = round(wall_corpus + wall_cand + wall_verify, 2)
+    # ---- stage 4: connected-components collapse over the verified pairs ----
+    # distributed exactness audit (no driver union-find at 10^6 docs):
+    # (a) both endpoints of every verified edge carry the same label;
+    # (b) no component spans two families (inter-family overlap is
+    # negligible by construction, so a spanning label = a propagation bug)
+    t0 = time.time()
+    from cinescrapers_spark.plans.dedup import connected_components
+
+    verified = verified.cache()
+    comp = connected_components(verified).cache()
+    n_nodes = comp.count()
+    n_comp = comp.select("component_id").distinct().count()
+    ca = comp.select(
+        F.col("doc_id").alias("doc_a"), F.col("component_id").alias("ca")
+    )
+    cb = comp.select(
+        F.col("doc_id").alias("doc_b"), F.col("component_id").alias("cb")
+    )
+    cc_violations = (
+        verified.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(F.col("ca") != F.col("cb"))
+        .count()
+    )
+    cc_spanning = (
+        comp.join(tt.select("doc_id", "fam"), "doc_id")
+        .groupBy("component_id")
+        .agg(F.countDistinct("fam").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    wall_cc = round(time.time() - t0, 2)
+
+    total = round(wall_corpus + wall_cand + wall_verify + wall_cc, 2)
     print(
         json.dumps(
             {
@@ -193,6 +226,11 @@ def main() -> None:
                 "ground_truth_pairs": n_truth,
                 "true_recall_at_theta": recall,
                 "wall_ground_truth_audit_sec": wall_truth,
+                "wall_components_sec": wall_cc,
+                "cc_docs_in_pairs": n_nodes,
+                "cc_components": n_comp,
+                "cc_edge_label_violations": cc_violations,
+                "cc_family_spanning_components": cc_spanning,
             }
         )
     )

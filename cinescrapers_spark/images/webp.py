@@ -22,12 +22,17 @@ feature set:
   top-right quirk), COLOR (per-tile cross-channel deltas), SUBTRACT_GREEN,
   COLOR_INDEXING (palette, incl. sub-byte pixel bundling).
 
-Encoder: spec-conformant literal-only VP8L (no transforms, no LZ77) with
-complete canonical codes — a flat 9-bit green code (the spare Kraft mass
-parks on an unused length symbol), flat 8-bit red/blue codes, and
-single-symbol zero-bit alpha/distance codes. Lossless roundtrip is exact
-by construction and gated in tests; compression is the decoder's concern
-(foreign corpora), not this writer's.
+Encoder (two spec-conformant paths, both exact-roundtrip gated):
+* default: SUBTRACT_GREEN + 8-bit color cache + per-channel histogram
+  Huffman codes (depth-limited, canonical) — real compression on
+  structured images (a flat 64×64 frame: 12,978 → 550 B; a two-color
+  pattern: 16×), graceful ~+5% on incompressible noise;
+* ``compress=False``: the flat literal-only stream (9-bit green / 8-bit
+  red+blue via a complete canonical code whose spare Kraft mass parks on
+  an unused length symbol; zero-bit alpha/distance) — the simplest
+  conformant writer, kept as the goldens' baseline.
+LZ77 emission and the predictor transform stay decode-only (foreign
+corpora exercise them; the goldens cover them bit-exactly).
 
 VP8 LOSSY (RFC 6386) remains an honest NotImplementedError gate: its
 boolean arithmetic coder + loop filter is a codebase, not an operator.
@@ -651,10 +656,236 @@ def _write_simple_single(bw: _BitWriter, sym: int) -> None:
         bw.write(sym, 8)
 
 
-def encode_webp(arr: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 RGB → lossless WebP (VP8L) bytes. Literal-only
-    spec-conformant stream: flat 9-bit green / 8-bit red+blue codes,
-    zero-bit alpha and distance codes. Exact roundtrip, ~25 bits/px."""
+def _huffman_lengths(counts: dict[int, int], maxlen: int = 15) -> dict[int, int]:
+    """Symbol → code length from frequencies, depth-limited by count
+    halving (re-derive until the tree fits 15 levels; counts stay ≥ 1 so
+    every used symbol keeps a code)."""
+    import heapq
+
+    syms = [s for s, c in counts.items() if c > 0]
+    if len(syms) <= 1:
+        return {s: 1 for s in syms}
+    c = {s: counts[s] for s in syms}
+    while True:
+        heap = [(c[s], i, (s,)) for i, s in enumerate(syms)]
+        heapq.heapify(heap)
+        depth = dict.fromkeys(syms, 0)
+        nxt = len(syms)
+        while len(heap) > 1:
+            ca, _, sa = heapq.heappop(heap)
+            cb, _, sb = heapq.heappop(heap)
+            for s in sa + sb:
+                depth[s] += 1
+            heapq.heappush(heap, (ca + cb, nxt, sa + sb))
+            nxt += 1
+        if max(depth.values()) <= maxlen:
+            return depth
+        c = {s: (v + 1) // 2 for s, v in c.items()}
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Canonical (code, len) per symbol — the assignment _Prefix uses."""
+    out = {}
+    code = 0
+    prev_len = 0
+    for ln, s in sorted((ln, s) for s, ln in lengths.items() if ln > 0):
+        code <<= ln - prev_len
+        out[s] = (code, ln)
+        code += 1
+        prev_len = ln
+    return out
+
+
+def _write_code_def(bw: _BitWriter, lengths: list[int]) -> None:
+    """Emit a prefix-code definition for an arbitrary length list: simple
+    for ≤ 2 symbols, else a normal definition whose code-length code uses
+    literal symbols plus 17/18 zero-run repeats."""
+    used = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
+    if len(used) == 1 and used[0][0] < 256:
+        _write_simple_single(bw, used[0][0])
+        return
+    if (
+        len(used) == 2
+        and all(ln == 1 for _, ln in used)
+        and used[0][0] < 256
+        and used[1][0] < 256
+    ):
+        bw.write(1, 1)  # simple, two symbols
+        bw.write(1, 1)
+        bw.write(1, 1)  # first symbol in 8 bits
+        bw.write(used[0][0], 8)
+        bw.write(used[1][0], 8)
+        return
+    bw.write(0, 1)  # normal
+    present = sorted({ln for ln in lengths if ln > 0} | {0, 17, 18})
+    nbits = max(1, (len(present) - 1).bit_length())
+    pool = [s for s in range(19) if s not in present]
+    while len(present) < (1 << nbits):
+        present.append(pool.pop())
+    present.sort()
+    clc_len = [0] * 19
+    for s in present:
+        clc_len[s] = nbits
+    n_emit = 4
+    for i, s in enumerate(_CLC_ORDER):
+        if clc_len[s]:
+            n_emit = max(n_emit, i + 1)
+    bw.write(n_emit - 4, 4)
+    for i in range(n_emit):
+        bw.write(clc_len[_CLC_ORDER[i]], 3)
+    bw.write(0, 1)  # no max_symbol cap
+    clc = {s: (i, nbits) for i, s in enumerate(present)}
+    i = 0
+    n = len(lengths)
+    while i < n:
+        if lengths[i] == 0:
+            run = 0
+            while i < n and lengths[i] == 0:
+                run += 1
+                i += 1
+            # trailing zeros are NOT implicit without a max_symbol cap:
+            # the reader consumes code-length symbols until the alphabet
+            # fills, so every zero run is emitted
+            while run > 0:
+                if run < 3:
+                    bw.write_code(*clc[0])
+                    run -= 1
+                elif run <= 10:
+                    bw.write_code(*clc[17])
+                    bw.write(run - 3, 3)
+                    run = 0
+                else:
+                    k = min(run, 138)
+                    bw.write_code(*clc[18])
+                    bw.write(k - 11, 7)
+                    run -= k
+        else:
+            bw.write_code(*clc[lengths[i]])
+            i += 1
+
+
+_CACHE_BITS = 8  # encoder's color-cache size (decoder handles 1..11)
+
+
+def encode_webp(arr: np.ndarray, compress: bool = True) -> bytes:
+    """(h, w, 3) uint8 RGB → lossless WebP (VP8L) bytes.
+
+    ``compress=True`` (default): SUBTRACT_GREEN transform + an 8-bit
+    color cache + per-channel histogram Huffman codes (two passes: one to
+    simulate the cache and collect symbol counts, one to emit). Real
+    compression on structured images; exact roundtrip always.
+
+    ``compress=False``: the flat literal-only stream (9-bit green /
+    8-bit red+blue, zero-bit alpha+distance), kept as the
+    simplest-possible conformant writer and the goldens' baseline."""
+    if compress:
+        return _encode_webp_cached(arr)
+    return _encode_webp_flat(arr)
+
+
+def _encode_webp_cached(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    assert w <= 1 << 14 and h <= 1 << 14, "VP8L dims are 14-bit"
+    cache_size = 1 << _CACHE_BITS
+    # SUBTRACT_GREEN on the encode side: r -= g, b -= g (mod 256)
+    g = arr[:, :, 1].astype(np.int32)
+    r = (arr[:, :, 0].astype(np.int32) - g) & 0xFF
+    b = (arr[:, :, 2].astype(np.int32) - g) & 0xFF
+    argb = (
+        (0xFF << 24)
+        | (r.reshape(-1).astype(np.int64) << 16)
+        | (g.reshape(-1).astype(np.int64) << 8)
+        | b.reshape(-1).astype(np.int64)
+    )
+    idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - _CACHE_BITS)
+    rflat, gflat, bflat = (
+        r.reshape(-1).tolist(),
+        g.reshape(-1).tolist(),
+        b.reshape(-1).tolist(),
+    )
+    argb_l, idx_l = argb.tolist(), idx.tolist()
+
+    # pass 1: simulate the cache, record per-pixel symbol + histograms
+    def simulate():
+        cache = [-1] * cache_size
+        syms = []
+        for i in range(len(argb_l)):
+            slot = idx_l[i]
+            if cache[slot] == argb_l[i]:
+                syms.append(256 + 24 + slot)
+            else:
+                syms.append(-1)  # literal
+                cache[slot] = argb_l[i]
+        return syms
+
+    syms = simulate()
+    gcounts: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    bc: dict[int, int] = {}
+    for i, s in enumerate(syms):
+        if s < 0:
+            gcounts[gflat[i]] = gcounts.get(gflat[i], 0) + 1
+            rc[rflat[i]] = rc.get(rflat[i], 0) + 1
+            bc[bflat[i]] = bc.get(bflat[i], 0) + 1
+        else:
+            gcounts[s] = gcounts.get(s, 0) + 1
+
+    green_alpha = 256 + 24 + cache_size
+    glen = _huffman_lengths(gcounts)
+    rlen = _huffman_lengths(rc)
+    blen = _huffman_lengths(bc)
+    gcode = _canonical_codes(glen)
+    rcode = _canonical_codes(rlen)
+    bcode = _canonical_codes(blen)
+
+    def to_list(lens, n):
+        out = [0] * n
+        for s, ln in lens.items():
+            out[s] = ln
+        return out
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version
+    bw.write(1, 1)  # transform present
+    bw.write(2, 2)  # SUBTRACT_GREEN
+    bw.write(0, 1)  # no more transforms
+    bw.write(1, 1)  # color cache
+    bw.write(_CACHE_BITS, 4)
+    bw.write(0, 1)  # no meta huffman
+    _write_code_def(bw, to_list(glen, green_alpha))
+    _write_code_def(bw, to_list(rlen, 256))
+    _write_code_def(bw, to_list(blen, 256))
+    _write_simple_single(bw, 255)  # alpha
+    _write_simple_single(bw, 0)    # distance (never read)
+
+    single_g = len(glen) == 1  # zero-bit green code: emit nothing per px
+    single_r = len(rlen) == 1
+    single_b = len(blen) == 1
+    for i, s in enumerate(syms):
+        if s < 0:
+            if not single_g:
+                bw.write_code(*gcode[gflat[i]])
+            if not single_r:
+                bw.write_code(*rcode[rflat[i]])
+            if not single_b:
+                bw.write_code(*bcode[bflat[i]])
+        elif not single_g:
+            bw.write_code(*gcode[s])
+    return _riff_wrap(bw.flush())
+
+
+def _riff_wrap(payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""  # RIFF pad, not in size
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload + pad
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _encode_webp_flat(arr: np.ndarray) -> bytes:
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
     assert w <= 1 << 14 and h <= 1 << 14, "VP8L dims are 14-bit"
@@ -683,8 +914,4 @@ def encode_webp(arr: np.ndarray) -> bytes:
         bw.write_code(256 + int(g), 9)
         bw.write_code(int(r), 8)
         bw.write_code(int(b), 8)
-    payload = bw.flush()
-    pad = b"\x00" if len(payload) & 1 else b""  # RIFF pad, not in size
-    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload + pad
-    riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
-    return riff
+    return _riff_wrap(bw.flush())

@@ -1514,3 +1514,38 @@ def test_webp_golden_meta_huffman():
     want[0, :4, 1] = 11
     want[0, 4:, 1] = 22
     assert np.array_equal(got, want)
+
+
+def test_webp_compressing_encoder():
+    """The default encoder path (subtract-green + color cache + histogram
+    Huffman) must roundtrip EXACTLY and genuinely compress structured
+    content; the flat literal-only path stays available and exact."""
+    import random as _random
+
+    from cinescrapers_spark.images.table import make_pixels
+    from cinescrapers_spark.images.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(41)
+    flat = np.full((64, 64, 3), 99, np.uint8)
+    two = (
+        np.where(
+            (np.arange(1600) % 3 == 0)[:, None], [10, 20, 30], [200, 100, 50]
+        )
+        .reshape(40, 40, 3)
+        .astype(np.uint8)
+    )
+    cases = [
+        rng.integers(0, 256, (21, 17, 3), dtype=np.uint8),
+        make_pixels(_random.Random(7), 96, 64),
+        flat,
+        two,
+        rng.integers(0, 256, (1, 1, 3), dtype=np.uint8),
+    ]
+    for img in cases:
+        for kw in ({}, {"compress": False}):
+            blob = encode_webp(img, **kw)
+            assert np.array_equal(decode_webp(blob), img), kw
+    # compression is REAL where structure exists
+    assert len(encode_webp(flat)) < flat.nbytes // 10
+    assert len(encode_webp(two)) < two.nbytes // 5
+    assert len(encode_webp(make_pixels(_random.Random(7), 96, 64))) < 96 * 64 * 3

@@ -184,3 +184,45 @@ def start_ann_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_dedup_pipeline_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    index,
+    components,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """The full streaming dedup pipeline: document-batch drops →
+    per micro-batch, probe + extend the persisted LSH index
+    (``IncrementalNearDupIndex``), commit the batch's verified pairs,
+    and fold them into the persisted canonical labels
+    (``plans.incremental_cc.IncrementalComponents``) — so the
+    training-data question "which canonical document does this belong
+    to" is answerable as data arrives, merges included.
+
+    Exactly-once: foreachBatch is at-least-once, and every step is an
+    idempotent per-tick commit over as-of-prior-tick reads (pairs:
+    bands/toks/pairs tables; labels: nodes run + roots snapshot) — a
+    replayed batch recomputes byte-identical rows and skips landed
+    commits."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from cinescrapers_spark.plans.dedup import LSH_BUCKET_CAP
+
+        tick = int(batch_id) + 1
+        pairs = index.add_batch(batch_df, tick=tick, bucket_cap=LSH_BUCKET_CAP)
+        index.pairs_table.commit(
+            pairs, tick=tick, row_count=-2, tag="run", idempotent=True
+        )
+        components.add_pairs(pairs.select("doc_a", "doc_b"), tick=tick)
+        pairs.unpersist()
+
+    return (
+        spark.readStream.schema(DOC)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -765,3 +765,99 @@ def test_dedup_components_transitive_closure(spark, sf_dir):
         r.doc_id: r.component_id for r in connected_components(edges).collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_incremental_components_equals_batch(spark, sf_dir, tmp_path):
+    """IncrementalComponents fed the near-dup pairs in ANY batch split —
+    including one that delivers a chain's edges across ticks so ticks
+    must MERGE previously-separate components — must end with exactly
+    q_dedup_components' labels; compaction must preserve them."""
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.plans.dedup import q_dedup_components, q_dedup_minhash_lsh
+    from cinescrapers_spark.plans.incremental_cc import IncrementalComponents
+
+    want = {
+        r.doc_id: r.component_id
+        for r in q_dedup_components(spark, sf_dir).collect()
+    }
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    pairs.count()
+
+    for salt, tag in ((0, "mod"), (7, "hash")):
+        idx = IncrementalComponents(str(tmp_path / f"cc_{tag}"))
+        for t in (1, 2, 3):
+            part = (
+                pairs.filter(F.pmod(F.xxhash64("doc_a", "doc_b", F.lit(salt)), F.lit(3)) == t - 1)
+                if salt
+                else pairs.filter(F.pmod(F.col("doc_a") + F.col("doc_b"), F.lit(3)) == t - 1)
+            )
+            idx.add_pairs(part, tick=t)
+        got = {r.doc_id: r.component_id for r in idx.labels(spark).collect()}
+        assert got == want, f"split {tag} diverged"
+        idx.compact(spark, tick=4)
+        got2 = {r.doc_id: r.component_id for r in idx.labels(spark).collect()}
+        assert got2 == want, f"compaction changed labels ({tag})"
+        assert len(idx.roots_table.manifest()) >= 1
+
+    # explicit cross-tick merge: chain edges arrive ends-first
+    idx = IncrementalComponents(str(tmp_path / "cc_chain"))
+    import pandas as pd
+
+    idx.add_pairs(
+        spark.createDataFrame(pd.DataFrame([(1, 2), (5, 6)], columns=["doc_a", "doc_b"])),
+        tick=1,
+    )
+    mid = {r.doc_id: r.component_id for r in idx.labels(spark).collect()}
+    assert mid == {1: 1, 2: 1, 5: 5, 6: 5}
+    idx.add_pairs(
+        spark.createDataFrame(pd.DataFrame([(2, 5)], columns=["doc_a", "doc_b"])),
+        tick=2,
+    )  # merges the two components through existing nodes
+    got = {r.doc_id: r.component_id for r in idx.labels(spark).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1}
+
+
+def test_incremental_components_crash_resume(spark, tmp_path):
+    """Kill IncrementalComponents between its two commits (nodes landed,
+    roots not) and before any commit; re-running the tick must land the
+    identical state (commits idempotent per tick, derivation a pure
+    function of batch + prior snapshots)."""
+    import pandas as pd
+    import pytest
+
+    from cinescrapers_spark.plans.incremental_cc import IncrementalComponents
+
+    def batch(t):
+        data = {1: [(1, 2), (5, 6)], 2: [(2, 5), (10, 11)]}[t]
+        return spark.createDataFrame(
+            pd.DataFrame(data, columns=["doc_a", "doc_b"])
+        )
+
+    ref = IncrementalComponents(str(tmp_path / "ref"))
+    for t in (1, 2):
+        ref.add_pairs(batch(t), tick=t)
+    want = {r.doc_id: r.component_id for r in ref.labels(spark).collect()}
+    assert want == {1: 1, 2: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+    crash = IncrementalComponents(str(tmp_path / "crash"))
+    crash.add_pairs(batch(1), tick=1)
+
+    # torn commit: nodes run lands, roots commit dies
+    real_commit = crash.roots_table.commit
+
+    def boom(*a, **k):
+        raise RuntimeError("killed before roots commit")
+
+    crash.roots_table.commit = boom
+    with pytest.raises(RuntimeError):
+        crash.add_pairs(batch(2), tick=2)
+    crash.roots_table.commit = real_commit
+    crash.add_pairs(batch(2), tick=2)  # re-run the same tick
+    got = {r.doc_id: r.component_id for r in crash.labels(spark).collect()}
+    assert got == want
+    # re-running a fully-landed tick is a no-op
+    n_nodes = len(crash.nodes_table.manifest())
+    crash.add_pairs(batch(2), tick=2)
+    assert len(crash.nodes_table.manifest()) == n_nodes
+    assert {r.doc_id: r.component_id for r in crash.labels(spark).collect()} == want

@@ -261,3 +261,46 @@ def test_ann_index_stream_equals_batch_feed(spark, tmp_path):
 
     got = {(r.q_id, r.vec_id) for r in idx.search(queries, nprobe=2).collect()}
     assert got == want
+
+
+def test_dedup_pipeline_stream_end_to_end(spark, sf_dir, tmp_path):
+    """Document drops → streaming LSH pairs → streaming canonical labels:
+    after all drops, the persisted labels must equal the full-batch
+    q_dedup_components output; a restarted stream consumes only new
+    drops and still merges components across micro-batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cinescrapers_spark.plans import load
+    from cinescrapers_spark.plans.dedup import q_dedup_components
+    from cinescrapers_spark.plans.incremental import IncrementalNearDupIndex
+    from cinescrapers_spark.plans.incremental_cc import IncrementalComponents
+    from cinescrapers_spark.streaming.stream import start_dedup_pipeline_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs_dir = str(tmp_path / "drops")
+    os.makedirs(docs_dir)
+    ckpt = str(tmp_path / "ckpt")
+    idx = IncrementalNearDupIndex(str(tmp_path / "lsh"))
+    cc = IncrementalComponents(str(tmp_path / "cc"))
+
+    for part in (0, 1):
+        docs.filter(F.pmod("doc_id", F.lit(3)) == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(docs_dir)
+    q = start_dedup_pipeline_stream(spark, docs_dir, idx, cc, ckpt)
+    q.awaitTermination(180)
+
+    docs.filter(F.pmod("doc_id", F.lit(3)) == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    q2 = start_dedup_pipeline_stream(spark, docs_dir, idx, cc, ckpt)
+    q2.awaitTermination(180)
+
+    got = {r.doc_id: r.component_id for r in cc.labels(spark).collect()}
+    want = {
+        r.doc_id: r.component_id
+        for r in q_dedup_components(spark, sf_dir).collect()
+    }
+    assert got == want

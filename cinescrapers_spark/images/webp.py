@@ -327,10 +327,6 @@ def _inv_subtract_green(argb: np.ndarray) -> np.ndarray:
     return _pack(a, (r + g) & 0xFF, g, (b + g) & 0xFF)
 
 
-def _avg2(x, y):
-    return (x + y) // 2
-
-
 def _inv_predictor(argb, w, h, pred_img, bits, pw):
     """Spec §4.2: per-tile predictor modes, applied over the linear ARGB
     array (which yields the standard top-right-wraps-to-row-start

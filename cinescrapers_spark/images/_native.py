@@ -411,6 +411,217 @@ long jpeg_decode_scan(const unsigned char *data, long nbytes, int n_comp,
     return 0;
 }
 
+/* WebP VP8L pixel decode (spec section 6.2.3): the per-pixel prefix-code
+   walk + LZ77 copies + color cache, mirroring webp.py's
+   _read_entropy_coded_image exactly. Bits are LSB-first in bytes; code
+   bits MSB-of-code-first. Per (group, channel) code: single symbol (>=0,
+   zero bits) or canonical tables count/first/sym-offset per length 1..16.
+   Returns the END bit position (>= 0), or -1 invalid code, -2 bad
+   backward reference, -3 truncated. */
+static int vp8l_bit(const unsigned char *d, long nbits, long *bp) {
+    if (*bp >= nbits) return -1;
+    int b = (d[*bp >> 3] >> (*bp & 7)) & 1;
+    (*bp)++;
+    return b;
+}
+
+static int vp8l_bits(const unsigned char *d, long nbits, long *bp, int k) {
+    int v = 0, i;
+    for (i = 0; i < k; i++) {
+        int b = vp8l_bit(d, nbits, bp);
+        if (b < 0) return -1;
+        v |= b << i;
+    }
+    return v;
+}
+
+static int vp8l_sym(const unsigned char *d, long nbits, long *bp,
+                    const int *single, const int *count, const int *first,
+                    const int *off, const int *syms, int slot) {
+    int code = 0, ln;
+    if (single[slot] >= 0) return single[slot];
+    for (ln = 0; ln < 16; ln++) {
+        int b = vp8l_bit(d, nbits, bp);
+        if (b < 0) return -1;
+        code = (code << 1) | b;
+        if (count[slot * 16 + ln] &&
+            code - first[slot * 16 + ln] < count[slot * 16 + ln])
+            return syms[off[slot * 16 + ln] + code - first[slot * 16 + ln]];
+    }
+    return -1;
+}
+
+static long vp8l_prefix_val(const unsigned char *d, long nbits, long *bp,
+                            int code) {
+    if (code < 4) return code + 1;
+    {
+        int extra = (code - 2) >> 1;
+        long offset = (long)(2 + (code & 1)) << extra;
+        int e = vp8l_bits(d, nbits, bp, extra);
+        if (e < 0) return -1;
+        return offset + e + 1;
+    }
+}
+
+long vp8l_decode_pixels(const unsigned char *data, long nbytes, long bitpos,
+                        int w, int h, int cache_bits, int meta_bits,
+                        const int *meta, int mw, const int *single,
+                        const int *count, const int *first, const int *off,
+                        const int *syms, const int *distmap,
+                        unsigned int *out) {
+    long nbits = nbytes * 8, bp = bitpos;
+    long total = (long)w * h, pos = 0;
+    unsigned int cache[2048];
+    int cache_size = cache_bits ? (1 << cache_bits) : 0;
+    int k;
+    for (k = 0; k < cache_size; k++) cache[k] = 0;
+    while (pos < total) {
+        int g = 0, slot, s;
+        if (meta_bits) {
+            long y = pos / w, x = pos % w;
+            g = meta[(y >> meta_bits) * mw + (x >> meta_bits)];
+        }
+        slot = g * 5;
+        s = vp8l_sym(data, nbits, &bp, single, count, first, off, syms, slot);
+        if (s < 0) return -1;
+        if (s < 256) {
+            int red = vp8l_sym(data, nbits, &bp, single, count, first, off,
+                               syms, slot + 1);
+            int blue = vp8l_sym(data, nbits, &bp, single, count, first, off,
+                                syms, slot + 2);
+            int alpha = vp8l_sym(data, nbits, &bp, single, count, first, off,
+                                 syms, slot + 3);
+            unsigned int argb;
+            if (red < 0 || blue < 0 || alpha < 0) return -1;
+            argb = ((unsigned int)alpha << 24) | ((unsigned int)red << 16) |
+                   ((unsigned int)s << 8) | (unsigned int)blue;
+            out[pos++] = argb;
+            if (cache_size)
+                cache[(0x1E35A7BDu * argb) >> (32 - cache_bits)] = argb;
+        } else if (s < 256 + 24) {
+            long length = vp8l_prefix_val(data, nbits, &bp, s - 256);
+            int dcode;
+            long dval, dist, i;
+            if (length < 0) return -1;
+            dcode = vp8l_sym(data, nbits, &bp, single, count, first, off,
+                             syms, slot + 4);
+            if (dcode < 0) return -1;
+            dval = vp8l_prefix_val(data, nbits, &bp, dcode);
+            if (dval < 0) return -1;
+            if (dval > 120) {
+                dist = dval - 120;
+            } else {
+                dist = (long)distmap[2 * (dval - 1) + 1] * w +
+                       distmap[2 * (dval - 1)];
+                if (dist < 1) dist = 1;
+            }
+            if (dist > pos || pos + length > total) return -2;
+            for (i = 0; i < length; i++) {
+                unsigned int v = out[pos - dist];
+                out[pos++] = v;
+                if (cache_size)
+                    cache[(0x1E35A7BDu * v) >> (32 - cache_bits)] = v;
+            }
+        } else {
+            if (!cache_size) return -1;
+            out[pos++] = cache[s - 256 - 24];
+        }
+    }
+    return bp;
+}
+
+/* WebP VP8L inverse predictor transform (spec section 4.2): per-tile
+   modes over the linear ARGB array (the standard top-right wrap at the
+   right edge). Mirrors webp.py's _inv_predictor. Returns 0 or -1 on a
+   bad mode. */
+static unsigned int vp8l_avg2(unsigned int x, unsigned int y) {
+    unsigned int out = 0;
+    int sh;
+    for (sh = 0; sh <= 24; sh += 8)
+        out |= ((((x >> sh) & 0xFF) + ((y >> sh) & 0xFF)) / 2) << sh;
+    return out;
+}
+
+static int vp8l_clamp(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
+
+long vp8l_inv_predictor(unsigned int *px, int w, int h,
+                        const unsigned int *pred_img, int bits, int pw) {
+    long total = (long)w * h, i;
+    for (i = 0; i < total; i++) {
+        long y = i / w, x = i % w;
+        unsigned int pred, cur = px[i];
+        if (i == 0) {
+            pred = 0xFF000000u;
+        } else if (y == 0) {
+            pred = px[i - 1];
+        } else if (x == 0) {
+            pred = px[i - w];
+        } else {
+            int mode = (pred_img[(y >> bits) * pw + (x >> bits)] >> 8) & 0xFF;
+            unsigned int L = px[i - 1], T = px[i - w], TL = px[i - w - 1],
+                         TR = px[i - w + 1];
+            switch (mode) {
+            case 0: pred = 0xFF000000u; break;
+            case 1: pred = L; break;
+            case 2: pred = T; break;
+            case 3: pred = TR; break;
+            case 4: pred = TL; break;
+            case 5: pred = vp8l_avg2(vp8l_avg2(L, TR), T); break;
+            case 6: pred = vp8l_avg2(L, TL); break;
+            case 7: pred = vp8l_avg2(L, T); break;
+            case 8: pred = vp8l_avg2(TL, T); break;
+            case 9: pred = vp8l_avg2(T, TR); break;
+            case 10: pred = vp8l_avg2(vp8l_avg2(L, TL), vp8l_avg2(T, TR)); break;
+            case 11: {
+                int pa = 0, pt = 0, sh;
+                for (sh = 0; sh <= 24; sh += 8) {
+                    int lc = (L >> sh) & 0xFF, tc = (T >> sh) & 0xFF,
+                        cc = (TL >> sh) & 0xFF;
+                    int p = tc + lc - cc;
+                    pa += iabs(p - lc);
+                    pt += iabs(p - tc);
+                }
+                pred = pa < pt ? L : T;
+                break;
+            }
+            case 12: {
+                unsigned int o = 0;
+                int sh;
+                for (sh = 0; sh <= 24; sh += 8)
+                    o |= (unsigned int)vp8l_clamp(
+                             (int)((L >> sh) & 0xFF) + (int)((T >> sh) & 0xFF) -
+                             (int)((TL >> sh) & 0xFF))
+                         << sh;
+                pred = o;
+                break;
+            }
+            case 13: {
+                unsigned int o = 0;
+                int sh;
+                for (sh = 0; sh <= 24; sh += 8) {
+                    int ave = ((int)((L >> sh) & 0xFF) + (int)((T >> sh) & 0xFF)) / 2;
+                    o |= (unsigned int)vp8l_clamp(
+                             ave + (ave - (int)((TL >> sh) & 0xFF)) / 2)
+                         << sh;
+                }
+                pred = o;
+                break;
+            }
+            default: return -1;
+            }
+        }
+        {
+            unsigned int o = 0;
+            int sh;
+            for (sh = 0; sh <= 24; sh += 8)
+                o |= ((((cur >> sh) & 0xFF) + ((pred >> sh) & 0xFF)) & 0xFF)
+                     << sh;
+            px[i] = o;
+        }
+    }
+    return 0;
+}
+
 /* GIF LZW ENCODE (mirror of gif.py's _lzw_encode byte-exactly, incl.
    the width-bump-BEFORE-insert ordering and Clear on table overflow).
    Dictionary: (prefix_code << 8 | byte) -> code via a 4096*256 table,
@@ -868,6 +1079,17 @@ def _build() -> ctypes.CDLL | None:
     lib.gif_lzw_encode.argtypes = [
         u8p, ctypes.c_long, ctypes.c_int, u8p, ctypes.c_long, i16p,
     ]
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.vp8l_decode_pixels.restype = ctypes.c_long
+    lib.vp8l_decode_pixels.argtypes = [
+        u8p, ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, i32p, i32p, i32p,
+        i32p, i32p, i32p, u32p,
+    ]
+    lib.vp8l_inv_predictor.restype = ctypes.c_long
+    lib.vp8l_inv_predictor.argtypes = [
+        u32p, ctypes.c_int, ctypes.c_int, u32p, ctypes.c_int, ctypes.c_int,
+    ]
     return lib
 
 
@@ -1172,3 +1394,75 @@ def gif_lzw_encode(indices: bytes, min_code_size: int):
     if rc < 0:
         raise ValueError("GIF LZW encode buffer overflow")
     return out[:rc].tobytes()
+
+
+def vp8l_decode_pixels(
+    data: bytes,
+    bitpos: int,
+    w: int,
+    h: int,
+    cache_bits: int,
+    meta_bits: int,
+    meta: "np.ndarray | None",
+    mw: int,
+    single: "np.ndarray",
+    count: "np.ndarray",
+    first: "np.ndarray",
+    off: "np.ndarray",
+    syms: "np.ndarray",
+    distmap: "np.ndarray",
+):
+    """VP8L spatially-coded pixel loop in C → (uint32 ARGB array,
+    end bit position), or None when unavailable. Raises ValueError on
+    malformed streams (same class as the Python scan)."""
+    lib = native_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(w * h, dtype=np.uint32)
+    if meta is None:
+        meta = np.zeros(1, np.int32)
+        mw = 1
+    rc = lib.vp8l_decode_pixels(
+        np.ascontiguousarray(buf),
+        len(data),
+        bitpos,
+        w,
+        h,
+        cache_bits,
+        meta_bits,
+        np.ascontiguousarray(meta.astype(np.int32, copy=False)),
+        mw,
+        np.ascontiguousarray(single.astype(np.int32, copy=False)),
+        np.ascontiguousarray(count.reshape(-1).astype(np.int32, copy=False)),
+        np.ascontiguousarray(first.reshape(-1).astype(np.int32, copy=False)),
+        np.ascontiguousarray(off.reshape(-1).astype(np.int32, copy=False)),
+        np.ascontiguousarray(syms.astype(np.int32, copy=False)),
+        np.ascontiguousarray(distmap.reshape(-1).astype(np.int32, copy=False)),
+        out,
+    )
+    if rc == -1:
+        raise ValueError("VP8L: invalid prefix code")
+    if rc == -2:
+        raise ValueError("VP8L: backward reference out of range")
+    if rc == -3:
+        raise ValueError("VP8L: truncated bitstream")
+    return out, int(rc)
+
+
+def vp8l_inv_predictor(px: "np.ndarray", w: int, h: int,
+                       pred_img: "np.ndarray", bits: int, pw: int):
+    """In-place inverse predictor transform in C over the uint32 ARGB
+    array, or None when unavailable."""
+    lib = native_lib()
+    if lib is None:
+        return None
+    px = np.ascontiguousarray(px.astype(np.uint32, copy=True))
+    rc = lib.vp8l_inv_predictor(
+        px, w, h,
+        np.ascontiguousarray(pred_img.astype(np.uint32, copy=False)),
+        bits, pw,
+    )
+    if rc < 0:
+        raise ValueError("VP8L: predictor mode out of range")
+    return px

@@ -144,6 +144,20 @@ class _Prefix:
                 return self.syms[ln][code - self.first[ln]]
         raise ValueError("VP8L: invalid prefix code")
 
+    def flat(self):
+        """(single, count[16], first[16], symbols-in-canonical-order) for
+        the C pixel kernel. single = -1 for multi-symbol codes."""
+        if self.single is not None:
+            return self.single, [0] * 16, [0] * 16, []
+        count = [0] * 16
+        first = [0] * 16
+        syms: list[int] = []
+        for ln in range(1, self.maxlen + 1):
+            count[ln - 1] = self.count[ln]
+            first[ln - 1] = self.first[ln] if self.count[ln] else 0
+            syms.extend(self.syms.get(ln, []))
+        return -1, count, first, syms
+
 
 def _simple_or_normal_code(br: _Bits, alphabet: int) -> _Prefix:
     """Spec §6.2.1/6.2.2: read one prefix-code definition."""
@@ -201,6 +215,61 @@ def _simple_or_normal_code(br: _Bits, alphabet: int) -> _Prefix:
     return _Prefix(lengths)
 
 
+def _native_read_pixels(br, w, h, cache_bits, meta_bits, meta, mw, groups):
+    """Build the flattened code tables and hand the whole pixel loop to
+    the C kernel (images/_native.py). Returns the ARGB array with the
+    bit reader advanced past the image, or None (no compiler)."""
+    from cinescrapers_spark.images._native import (
+        native_lib,
+        vp8l_decode_pixels,
+    )
+
+    if native_lib() is None:
+        return None
+    n_slots = len(groups) * 5
+    single = np.empty(n_slots, np.int32)
+    count = np.zeros((n_slots, 16), np.int32)
+    first = np.zeros((n_slots, 16), np.int32)
+    off = np.zeros((n_slots, 16), np.int32)
+    syms_all: list[int] = []
+    for gi, g in enumerate(groups):
+        for ci, code in enumerate(g):
+            slot = gi * 5 + ci
+            s, cnt, fst, syms = code.flat()
+            single[slot] = s
+            if s < 0:
+                count[slot] = cnt
+                first[slot] = fst
+                base = len(syms_all)
+                pos = 0
+                for ln in range(16):
+                    off[slot, ln] = base + pos
+                    pos += cnt[ln]
+                syms_all.extend(syms)
+    bitpos = br.pos * 8 - br.n  # bits consumed so far
+    res = vp8l_decode_pixels(
+        br.d, bitpos, w, h, cache_bits, meta_bits,
+        None if meta is None else meta,
+        mw, single, count, first, off,
+        np.array(syms_all or [0], np.int32),
+        np.array(_DIST_MAP, np.int32),
+    )
+    if res is None:
+        return None
+    out, end = res
+    # re-seat the Python reader exactly after the image's last bit
+    byte, rem = end >> 3, end & 7
+    if rem:
+        br.pos = byte + 1
+        br.acc = br.d[byte] >> rem
+        br.n = 8 - rem
+    else:
+        br.pos = byte
+        br.acc = 0
+        br.n = 0
+    return out
+
+
 def _prefix_coded_value(br: _Bits, code: int) -> int:
     """Length/distance prefix decoding (spec §5.2.2): codes 0-3 are the
     values 1-4; beyond that, (code-2)>>1 extra bits."""
@@ -248,6 +317,16 @@ def _read_entropy_coded_image(br: _Bits, w: int, h: int, allow_meta: bool):
                 _simple_or_normal_code(br, 40),   # distance
             )
         )
+
+    # hot path: the C pixel kernel (one call for the whole spatially-coded
+    # image — prefix walks, LZ77 copies, color cache); pixel-equality
+    # gated vs this Python loop in tests. None → pure-Python reference.
+    fast = _native_read_pixels(
+        br, w, h, cache_bits, meta_bits, meta,
+        meta_w if meta is not None else 1, groups,
+    )
+    if fast is not None:
+        return fast
 
     out = np.zeros(w * h, dtype=np.uint32)
     pos = 0
@@ -330,7 +409,16 @@ def _inv_subtract_green(argb: np.ndarray) -> np.ndarray:
 def _inv_predictor(argb, w, h, pred_img, bits, pw):
     """Spec §4.2: per-tile predictor modes, applied over the linear ARGB
     array (which yields the standard top-right-wraps-to-row-start
-    behavior at the right edge)."""
+    behavior at the right edge). Hot path: the C kernel
+    (pixel-equality gated); this loop is the reference semantics."""
+    from cinescrapers_spark.images._native import vp8l_inv_predictor
+
+    fast = vp8l_inv_predictor(
+        argb.astype(np.uint32, copy=False), w, h,
+        pred_img.astype(np.uint32, copy=False), bits, pw,
+    )
+    if fast is not None:
+        return fast
     px = argb.astype(np.int64)
 
     def chans(v):
@@ -371,7 +459,11 @@ def _inv_predictor(argb, w, h, pred_img, bits, pw):
         out = 0
         for sh in (24, 16, 8, 0):
             ave = (((l_ >> sh) & 0xFF) + ((t >> sh) & 0xFF)) // 2
-            out |= clamp(ave + (ave - ((tl >> sh) & 0xFF)) // 2) << sh
+            d = ave - ((tl >> sh) & 0xFF)
+            # spec: (a - b) / 2 in C semantics — truncation toward zero,
+            # NOT floor (differs for negative odd deltas)
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out |= clamp(ave + half) << sh
         return out
 
     def avg2pix(x, y):

@@ -241,7 +241,16 @@ def encode_gif(arr: np.ndarray) -> bytes:
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes → (h, w, 3) uint8 (first frame). Handles global + local
     color tables, interlace, extension blocks, and frames smaller than
-    the logical screen (composited onto the background color)."""
+    the logical screen (composited onto the background color).
+    Foreign-input contract (fuzz-gated): crafted bytes either decode or
+    raise ValueError — short-buffer/index errors never escape raw."""
+    try:
+        return _decode_gif(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed GIF: {type(e).__name__}: {e}") from e
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
     assert data[:6] in (b"GIF87a", b"GIF89a"), "not a gif"
     sw, sh = struct.unpack_from("<HH", data, 6)
     flags = data[10]

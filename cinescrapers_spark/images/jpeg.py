@@ -864,7 +864,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes → (h, w, 3) uint8 RGB (grayscale replicated). Baseline
     sequential (SOF0/1) and progressive (SOF2: spectral selection +
     successive approximation per T.81 Annex G). Sampling factors ≤ 2 per
-    axis, restart intervals, stuffed bytes."""
+    axis, restart intervals, stuffed bytes.
+
+    Foreign-input contract (fuzz-gated): crafted bytes either decode or
+    raise ValueError / NotImplementedError — low-level parse errors
+    (short buffers, unknown ids) never escape as IndexError/KeyError/
+    struct.error, which would look like engine bugs to the harvest's
+    per-row error isolation."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, StopIteration, struct.error) as e:
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     assert data[:2] == b"\xff\xd8", "not a jpeg"
     pos = 2
     qtables: dict[int, np.ndarray] = {}

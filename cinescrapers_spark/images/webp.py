@@ -647,7 +647,16 @@ def decode_vp8l(data: bytes) -> np.ndarray:
 
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP bytes (RIFF container) → (h, w, 3) uint8 RGB. Lossless VP8L
-    chunks decode for real; lossy VP8 raises the honest gate."""
+    chunks decode for real; lossy VP8 raises the honest gate.
+    Foreign-input contract (fuzz-gated): crafted bytes either decode or
+    raise ValueError / NotImplementedError."""
+    try:
+        return _decode_webp(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed WebP: {type(e).__name__}: {e}") from e
+
+
+def _decode_webp(data: bytes) -> np.ndarray:
     assert data[:4] == b"RIFF" and data[8:12] == b"WEBP", "not a webp"
     pos = 12
     while pos + 8 <= len(data):

@@ -1681,3 +1681,62 @@ def test_webp_golden_predictor_modes_11_12_13():
         finally:
             wm._native_read_pixels = real_px
             nat.vp8l_inv_predictor = real_pred
+
+
+def test_decoder_fuzz_exception_hygiene():
+    """Foreign-input contract: crafted/truncated/bit-flipped bytes fed to
+    ANY decoder either decode or raise ValueError / NotImplementedError /
+    AssertionError — never a raw IndexError/KeyError/struct.error (which
+    the harvest's per-row isolation would misread as an engine bug).
+    Seeded fuzz over three mutation classes per format."""
+    from cinescrapers_spark.images.gif import decode_gif, encode_gif
+    from cinescrapers_spark.images.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from cinescrapers_spark.images.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    gimg = rng.integers(0, 256, (8, 3), dtype=np.uint8)[
+        rng.integers(0, 8, (20, 20))
+    ]
+
+    def jfix(b):
+        b[:3] = b"\xff\xd8\xff"
+
+    def gfix(b):
+        b[:6] = b"GIF89a"
+
+    def wfix(b):
+        b[:4] = b"RIFF"
+        if len(b) >= 12:
+            b[8:12] = b"WEBP"
+
+    cases = [
+        (decode_jpeg, encode_jpeg(img, 85), jfix),
+        (decode_jpeg, encode_jpeg_progressive(img, 85), jfix),
+        (decode_gif, encode_gif(np.ascontiguousarray(gimg)), gfix),
+        (decode_webp, encode_webp(img), wfix),
+    ]
+    for decode, blob, fix in cases:
+        for trial in range(300):
+            mode = trial % 3
+            if mode == 0:
+                b = bytearray(
+                    rng.integers(
+                        0, 256, int(rng.integers(8, 400)), dtype=np.uint8
+                    ).tobytes()
+                )
+                fix(b)
+            elif mode == 1:
+                b = bytearray(blob[: int(rng.integers(4, len(blob)))])
+            else:
+                b = bytearray(blob)
+                for _ in range(int(rng.integers(1, 6))):
+                    b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            try:
+                decode(bytes(b))
+            except (ValueError, NotImplementedError, AssertionError):
+                pass  # the contract: clean rejection only

@@ -12,12 +12,13 @@ three self-describing formats whose codecs are pure stdlib+numpy:
   input_hint's "PSNR ≥ 40 dB for lossy" invariant is genuinely exercised:
   step Q=4 bounds per-pixel error to ≤2 → PSNR ≥ ~46 dB.
 
-GIF and JPEG are REAL too: ``images/gif.py`` (LZW entropy coder per the
-GIF89a spec, interlace + local-color-table decode, exact-palette encode)
-and ``images/jpeg.py`` (baseline ITU-T T.81: Huffman entropy coder,
-batched 8×8 DCT, 4:4:4/4:2:0, restart intervals). WebP decode remains an
-honest ``NotImplementedError`` gate (VP8 needs an arithmetic coder +
-predictor suite out of scope for this sandbox).
+GIF, JPEG and WebP are REAL too: ``images/gif.py`` (LZW entropy coder
+per the GIF89a spec, interlace + local-color-table decode, exact-palette
+encode), ``images/jpeg.py`` (ITU-T T.81: baseline AND progressive SOF2,
+Huffman entropy coder, batched 8×8 DCT, 4:4:4/4:2:0, restart intervals)
+and ``images/webp.py`` (lossless VP8L: transforms, LZ77, color cache,
+meta-Huffman; compressing encoder). Only lossy VP8 (RFC 6386 arithmetic
+coder) remains an honest ``NotImplementedError`` gate.
 
 Magic-byte sniffing clones the reference's validator semantics
 (``/root/reference/src/cinescrapers/__main__.py:260-281``: JPEG/PNG/GIF/
@@ -45,24 +46,40 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 def decode_ppm(data: bytes) -> np.ndarray:
+    """Fuzz-gated foreign-input boundary: ValueError on malformed."""
+    try:
+        return _decode_ppm_impl(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed PPM: {type(e).__name__}: {e}") from e
+
+
+def _decode_ppm_impl(data: bytes) -> np.ndarray:
     assert data[:2] == b"P6", "not a P6 ppm"
-    # header: three whitespace-separated tokens after magic, then one ws byte
+    # header: three whitespace-separated tokens after magic, then one ws
+    # byte. Every scan loop is bounds-checked — a truncated header
+    # previously spun forever on the empty-slice sentinel (b"".isspace()
+    # is False), caught by the decoder fuzz.
     pos = 2
+    n = len(data)
     tokens: list[int] = []
     while len(tokens) < 3:
-        while data[pos : pos + 1].isspace():
+        while pos < n and data[pos : pos + 1].isspace():
             pos += 1
+        if pos >= n:
+            raise ValueError("PPM: truncated header")
         if data[pos : pos + 1] == b"#":  # comment line
-            while data[pos : pos + 1] != b"\n":
+            while pos < n and data[pos : pos + 1] != b"\n":
                 pos += 1
             continue
         start = pos
-        while not data[pos : pos + 1].isspace():
+        while pos < n and not data[pos : pos + 1].isspace():
             pos += 1
         tokens.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = tokens
     assert maxval == 255
+    if w * h > 64_000_000:
+        raise ValueError(f"PPM frame {w}x{h} exceeds pixel cap")
     return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
         h, w, 3
     )
@@ -80,6 +97,14 @@ def encode_qimg(arr: np.ndarray, step: int = QIMG_STEP) -> bytes:
 
 
 def decode_qimg(data: bytes) -> np.ndarray:
+    """Fuzz-gated foreign-input boundary: ValueError on malformed."""
+    try:
+        return _decode_qimg_impl(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed QIMG: {type(e).__name__}: {e}") from e
+
+
+def _decode_qimg_impl(data: bytes) -> np.ndarray:
     assert data[:4] == QIMG_MAGIC, "not a qimg"
     w, h, step = struct.unpack_from("<HHB", data, 4)
     q = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=9)
@@ -175,7 +200,19 @@ def _png_unfilter_row(ft: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> n
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → (h, w, 3) uint8. Supports bit depth 8, color types 2
+    """Fuzz-gated foreign-input boundary: ValueError on malformed."""
+    try:
+        return _decode_png_impl(data)
+    except (IndexError, KeyError, struct.error, zlib.error) as e:
+        raise ValueError(f"malformed PNG: {type(e).__name__}: {e}") from e
+
+
+def _decode_png_impl(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8. Foreign-input contract (fuzz-gated):
+    crafted bytes either decode or raise ValueError/NotImplementedError —
+    zlib/struct/index errors never escape raw, inflation is bounded to
+    the declared image size, and pixel count is capped.
+    Supports bit depth 8, color types 2
     (RGB) and 6 (RGBA — alpha dropped), no interlace; verifies chunk CRCs
     and handles all five scanline filters (so PNGs from ANY encoder in this
     subset decode, not just ours)."""
@@ -203,8 +240,22 @@ def decode_png(data: bytes) -> np.ndarray:
             f"(got depth={depth} color={ctype_n} interlace={interlace})"
         )
     bpp = 3 if ctype_n == 2 else 4
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if w * h > 64_000_000:
+        raise ValueError(f"PNG frame {w}x{h} exceeds pixel cap")
     stride = w * bpp
+    # bounded inflate: the filtered image is exactly h*(1+stride) bytes;
+    # a crafted IDAT must not decompress past it (zlib bombs reach
+    # ~1000:1, enough to OOM an executor from a small blob)
+    need = h * (1 + stride)
+    dec = zlib.decompressobj()
+    raw_b = dec.decompress(b"".join(idat), need + 1)
+    if len(raw_b) > need:
+        raise ValueError("PNG: IDAT inflates beyond the image size")
+    raw = np.frombuffer(raw_b, dtype=np.uint8)
+    if raw.size != need:
+        raise ValueError(
+            f"PNG: IDAT inflates to {raw.size} B, expected {need}"
+        )
     raw = raw.reshape(h, 1 + stride)
     # fast path: the whole-image C unfilter kernel (compiled lazily, see
     # _native.py); None → pure-Python per-row reconstruction, same bytes

@@ -144,6 +144,8 @@ def decode_adpcm(data: bytes) -> np.ndarray:
     tests/test_images.py); this Python loop is the reference semantics
     and the no-compiler fallback."""
     assert data[:4] == _ADPCM_MAGIC, "not an adpcm stream"
+    if len(data) < 11:
+        raise ValueError("ADPCM: truncated header")
     pred, idx, n = struct.unpack_from("<hBI", data, 4)
     body = data[11:]
     from cinescrapers_spark.images._native import adpcm_decode as _native_adpcm

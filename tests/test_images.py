@@ -1714,11 +1714,38 @@ def test_decoder_fuzz_exception_hygiene():
         if len(b) >= 12:
             b[8:12] = b"WEBP"
 
+    from cinescrapers_spark.images.codecs import (
+        decode_png,
+        decode_ppm,
+        decode_qimg,
+        encode_png,
+        encode_ppm,
+        encode_qimg,
+    )
+    from cinescrapers_spark.images.multimodal import decode_adpcm, encode_adpcm
+
+    def pngfix(b):
+        b[:8] = b"\x89PNG\r\n\x1a\n"
+
+    def ppmfix(b):
+        b[:2] = b"P6"
+
+    def qfix(b):
+        b[:4] = b"QIMG"
+
+    def afix(b):
+        b[:4] = b"ADPM"
+
+    pcm = (np.sin(np.arange(400)) * 8000).astype(np.int16)
     cases = [
         (decode_jpeg, encode_jpeg(img, 85), jfix),
         (decode_jpeg, encode_jpeg_progressive(img, 85), jfix),
         (decode_gif, encode_gif(np.ascontiguousarray(gimg)), gfix),
         (decode_webp, encode_webp(img), wfix),
+        (decode_png, encode_png(img), pngfix),  # incl. bounded-inflate path
+        (decode_ppm, encode_ppm(img), ppmfix),  # incl. the header-loop fix
+        (decode_qimg, encode_qimg(img), qfix),
+        (decode_adpcm, encode_adpcm(pcm), afix),
     ]
     for decode, blob, fix in cases:
         for trial in range(300):

@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--nprobe", type=int, default=3)
+    ap.add_argument("--incremental", action="store_true",
+                    help="also feed the corpus to IncrementalIVFIndex in 4 "
+                         "batches and audit its recall with the same "
+                         "brute-force ground truth")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -108,9 +112,52 @@ def main() -> None:
     n_hit = exact.join(ivf.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi").count()
     recall = round(n_hit / n_exact, 5) if n_exact else None
 
+    # ---- persisted incremental index (same audit) ---------------------------
+    inc_fields: dict = {}
+    if args.incremental:
+        import shutil
+        import tempfile
+
+        from cinescrapers_spark.plans.incremental_ivf import IncrementalIVFIndex
+
+        workdir = tempfile.mkdtemp(prefix="ivf-stress-")
+        try:
+            idx = IncrementalIVFIndex(workdir, lloyd_iters=2)
+            cand_full = emb.filter(F.col("vec_id") >= args.queries)
+            batch_walls = []
+            for t in range(1, 5):
+                tb = time.time()
+                idx.add_batch(
+                    cand_full.filter(F.pmod("vec_id", F.lit(4)) == t - 1),
+                    tick=t,
+                )
+                batch_walls.append(round(time.time() - tb, 2))
+            tq = time.time()
+            queries_df = emb.filter(F.col("vec_id") < args.queries).select(
+                F.col("vec_id").alias("q_id"), "embedding"
+            )
+            inc = idx.search(
+                queries_df, k=args.topk, nprobe=args.nprobe
+            ).cache()
+            inc.count()
+            wall_inc_search = round(time.time() - tq, 2)
+            n_hit_inc = exact.join(
+                inc.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
+            ).count()
+            inc_fields = {
+                "inc_batch_walls_sec": batch_walls,
+                "inc_search_wall_sec": wall_inc_search,
+                "inc_recall_at_k": (
+                    round(n_hit_inc / n_exact, 5) if n_exact else None
+                ),
+            }
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
     print(
         json.dumps(
             {
+                **inc_fields,
                 "vectors": args.vectors,
                 "dim": DIM,
                 "clusters": N_CLUSTERS,

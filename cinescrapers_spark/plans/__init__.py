@@ -127,5 +127,46 @@ def driver_window() -> list[str]:
     return list(registry())[:DRIVER_WINDOW_SLOTS]
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+def _effective_scan_parallelism(path: str) -> int:
+    """Upper bound on how many tasks can actually carry rows when scanning
+    ``path``: parquet assigns each ROW GROUP to the task whose byte range
+    contains its midpoint, so a single-file single-row-group table is read
+    by ONE task no matter how small ``maxPartitionBytes`` is. Driver-side
+    footer peek (same class of metadata read as Spark's own file listing);
+    memoized per path — file metadata, never data or results."""
+    import glob
+    import os
+
+    if path in _SCAN_PAR_CACHE:
+        return _SCAN_PAR_CACHE[path]
+    try:
+        import pyarrow.parquet as pq
+
+        files = glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
+        n = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        n = 10**9  # unknown layout: assume splittable, never repartition
+    _SCAN_PAR_CACHE[path] = max(n, 1)
+    return _SCAN_PAR_CACHE[path]
+
+
+_SCAN_PAR_CACHE: dict[str, int] = {}
+
+
+def load(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
+) -> DataFrame:
+    """Read one testdata table. ``spread=True`` marks a scan that feeds
+    per-row-heavy compute (regex, minhash, cosine): when the file layout
+    caps scan parallelism below the cluster's default parallelism (the
+    guide's "one huge unsplittable file" case, §2.5 — our testdata tables
+    are single-file, 1-6 row groups), a round-robin repartition right
+    after the read spreads that compute across the cluster. Scale-
+    adaptive, not a local[32] constant: on a real many-file table
+    row_groups >= parallelism and the repartition vanishes."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if _effective_scan_parallelism(f"{sf_dir}/{table}.parquet") < target:
+            df = df.repartition(target)
+    return df

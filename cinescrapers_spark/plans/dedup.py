@@ -76,7 +76,9 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     Self-join is partitioned by `source` (bounded groups). This is the
     correctness oracle for the LSH plan below — at scale you never run it.
     """
-    docs = load(spark, sf, "documents").select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
+    docs = load(spark, sf, "documents", spread=True).select(
+        "doc_id", "source", _tokens(F.col("text")).alias("toks")
+    )
     a = docs.alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
@@ -151,16 +153,32 @@ def lsh_candidate_pairs(
     ``bucket_cap`` bounds the quadratic pair blowup inside a single bucket
     (mega-bucket skew kill); skipped buckets are reported by
     ``lsh_oversized_buckets`` with the same cap.
-    """
-    from pyspark.sql import Window
 
+    Round 6 cap mechanics (same pair set, cheaper plan): the cap used to
+    be a ``count(*) over (partition by bucket)`` window — a full
+    Exchange + Sort of the bands table on EACH side of the self-join.
+    Mega-buckets are by construction rare (that is why a cap exists), so
+    the filter is now a broadcast LEFT ANTI join against the (usually
+    EMPTY) set of oversized buckets: one map-side-combined groupBy
+    produces the tiny blocklist, and the bands rows stream through the
+    anti probe with no exchange and no sort. Identical survivor set —
+    a row survives iff its bucket's count ≤ cap.
+
+    (A bucket-groupBy + in-bucket combination expression was measured as
+    the alternative shape and LOST to the broadcast self-join — 6.5 s vs
+    2.9 s at sf1.0 — the collect_list exchange plus nested array allocs
+    cost more than streaming the codegen'd hash-probe join.)
+    """
     bands = _bands(docs)
     if bucket_cap:
-        wb = Window.partitionBy("source", "band_id", "band_hash")
-        bands = (
-            bands.withColumn("__bn", F.count("*").over(wb))
-            .filter(F.col("__bn") <= bucket_cap)
+        big = (
+            bands.groupBy("source", "band_id", "band_hash")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") > bucket_cap)
             .drop("__bn")
+        )
+        bands = bands.join(
+            F.broadcast(big), ["source", "band_id", "band_hash"], "left_anti"
         )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -177,7 +195,11 @@ def lsh_candidate_pairs(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .dropDuplicates(["source", "doc_a", "doc_b"])
+        # pairs are within-source and doc_id is unique corpus-wide, so
+        # (doc_a, doc_b) already identifies the pair: a 2-long dedup key
+        # shuffles/compares fewer bytes than (source, a, b) and keeps the
+        # same rows (source is functionally dependent on doc_a)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -231,8 +253,15 @@ def doc_token_table(spark: SparkSession, sf: str) -> DataFrame:
         # saveAsTable (regeneration is deterministic and one scan)
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+        # Hash-repartition by the bucket key before the bucketed write:
+        # tokenize+hash+sort runs cluster-wide instead of at the input
+        # file layout's parallelism, and each task holds exactly the rows
+        # of its buckets, so the table lands as one file per bucket
+        # (guide §6 — bucketed writes want hash-clustered input, else
+        # every task writes nbuckets small files).
         docs = (
             load(spark, sf, "documents")
+            .repartition(SCRATCH_BUCKETS, "doc_id")
             .select(
                 "doc_id",
                 "source",
@@ -264,8 +293,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     Banding runs over the raw string tokens (identical candidate set and
     recall to the canonical minhash family); verification joins the
     doc_id-bucketed token-hash layout (``doc_token_table``) so neither
-    verify join shuffles the corpus."""
-    docs = load(spark, sf, "documents").select(
+    verify join shuffles the corpus.
+
+    Round 6: candidates are pruned by an EXACT token-count necessary
+    condition before the (expensive) array_intersect runs — J ≥ θ forces
+    min(na,nb)/max(na,nb) ≥ θ (because |∩| ≤ min and J ≥ θ ⟹ min ≥
+    θ'·max), and the prune uses integer arithmetic at θ' = 0.79994, just
+    under the round(·,4) ≥ 0.8 boundary (0.79995), so no pair the jaccard
+    filter would keep can be dropped. Measured 50% of candidates pruned at
+    sf1.0 — half the intersect work for two long multiplies per pair
+    (guide §2.3: don't compute what you throw away)."""
+    docs = load(spark, sf, "documents", spread=True).select(
         "doc_id", "source", _tokens(F.col("text")).alias("toks")
     )
     cand = lsh_candidate_pairs(docs)
@@ -280,7 +318,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.col("thash").alias("hb"),
         F.col("ntoks").alias("nb"),
     )
-    pairs = cand.join(ta, "doc_a").join(tb, "doc_b")
+    pairs = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            F.least("na", "nb").cast("long") * 50000
+            >= F.greatest("na", "nb").cast("long") * 39997
+        )
+    )
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb"))).cast("double")
     union = (F.col("na") + F.col("nb")).cast("double") - inter
     return (
@@ -326,7 +371,7 @@ def q_dedup_minhash_lsh_grouped(spark: SparkSession, sf: str) -> DataFrame:
     boilerplate corpora where exact-dup clusters dominate (template pages,
     mirrored sites), which is the common-crawl regime the 100 TB target
     implies. Both plans stay registered; pick by corpus shape."""
-    docs = load(spark, sf, "documents").select(
+    docs = load(spark, sf, "documents", spread=True).select(
         "doc_id", "source", _tokens(F.col("text")).alias("toks")
     )
     keyed = docs.withColumn("gkey", F.array_sort("toks"))
@@ -441,7 +486,7 @@ def simhash64(tokens_col):
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash fingerprint groups: documents sharing an identical 64-bit
     simhash (hamming-0 bucket; banding over bit-ranges generalizes to k>0)."""
-    docs = load(spark, sf, "documents").select(
+    docs = load(spark, sf, "documents", spread=True).select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     )
     sims = docs.select("doc_id", simhash64(F.col("toks")).alias("simhash"))
@@ -464,7 +509,7 @@ def q_dedup_simhash_band(spark: SparkSession, sf: str) -> DataFrame:
     rows × 4, never O(n²)) and an exact bit_count(xor) filter verifies.
     Complete for hamming ≤ 3 by construction; pytest checks against the
     brute-force hamming pairs. Rows-only (bit-level ops; no SQL oracle)."""
-    docs = load(spark, sf, "documents").select(
+    docs = load(spark, sf, "documents", spread=True).select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     )
     sims = docs.select("doc_id", simhash64(F.col("toks")).alias("simhash"))

@@ -93,17 +93,27 @@ def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     a partial per-partition top-k bounds the final window's exchange to
     k × n_partitions rows per query instead of shipping every scored
     candidate into N_QUERIES reducers.
+
+    Round 6: each side's L2 norm is computed ONCE per row before the
+    cross join instead of inside ``cosine`` per (candidate, query) pair —
+    the pair loop now does 1 array pass (the dot product) instead of 3
+    (dot + both norms), with bit-identical arithmetic (same fold, same
+    multiply, same >0 guard). The candidate scan is also spread across
+    the cluster when the file layout caps it at 1 task (guide §2.5).
+    Measured 1.96 s → 0.56 s at sf1.0, identical output.
     """
-    emb = load(spark, sf, "embeddings")
+    emb = load(spark, sf, "embeddings", spread=True)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), _as_double(F.col("embedding")).alias("q_emb")
     )
+    q = q.select("q_id", "q_emb", l2norm(F.col("q_emb")).alias("qn"))
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
-    scored = c.join(F.broadcast(q)).select(
-        "q_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("cos_raw")
-    )
+    c = c.select("vec_id", "emb", l2norm(F.col("emb")).alias("cn"))
+    den = F.col("cn") * F.col("qn")
+    cos = F.when(den > 0, dot(F.col("emb"), F.col("q_emb")) / den).otherwise(F.lit(0.0))
+    scored = c.join(F.broadcast(q)).select("q_id", "vec_id", cos.alias("cos_raw"))
     return partitioned_topk(
         scored, ["q_id"], [F.desc("cos_raw"), F.asc("vec_id")], TOPK
     ).select("q_id", "vec_id", F.round("cos_raw", 4).alias("cosine"))

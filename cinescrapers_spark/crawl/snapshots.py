@@ -22,6 +22,11 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+# commit(bloom_col=...) skips the sidecar above this row count (≈24 MB of
+# bloom bits at 10 bits/key) — a run that big is a compaction, and reading
+# it unconditionally is the documented post-compact behavior
+BLOOM_MAX_N = 20_000_000
+
 
 @dataclass
 class SnapshotInfo:
@@ -77,6 +82,7 @@ class SnapshotTable:
         row_count: int | None = None,
         tag: str | None = None,
         idempotent: bool = False,
+        bloom_col: str | None = None,
     ) -> SnapshotInfo:
         """Write df as the next snapshot (atomic via tmp-dir rename) and
         append manifest entry with per-partition lineage.
@@ -91,7 +97,16 @@ class SnapshotTable:
         (tick, tag) already exists (returns the existing info): a crashed
         tick can be re-run from its parent state and each table skips the
         commits that already landed — resumable from ANY point, not just
-        tick boundaries."""
+        tick boundaries.
+
+        ``bloom_col`` additionally builds a Bloom filter over that int64
+        column of the WRITTEN snapshot (driver-side footer+column read —
+        O(this run), not O(table)) and stores it as ``_bloom_<col>.npz``
+        inside the snapshot dir (underscore-prefixed: Spark's scan skips
+        it), recording the params in ``metrics["bloom"]``. Readers use it
+        to PRUNE runs that provably contain none of a lookup's keys
+        (``plans/incremental_cc``). The sidecar lands before the manifest
+        append, so a committed entry always has its bloom."""
         if idempotent:
             existing = self.entry_for(tick, tag)
             if existing is not None:
@@ -136,12 +151,44 @@ class SnapshotTable:
             )
         elif row_count is None:
             row_count = df.sparkSession.read.parquet(final).count()
+        metrics = dict(metrics or {})
+        if bloom_col is not None:
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            from cinescrapers_spark.plans.bloom import IntBloom
+
+            cols = [
+                pq.read_table(
+                    os.path.join(self.path, e["file"]), columns=[bloom_col]
+                )[bloom_col].to_numpy(zero_copy_only=False)
+                for e in lineage
+            ]
+            ids = np.concatenate(cols) if cols else np.array([], dtype=np.int64)
+            # cap: a bloom over a corpus-sized run (e.g. a compaction)
+            # would not fit driver memory or prune anything useful —
+            # readers treat a bloom-less run as "always read" (safe)
+            if len(ids) <= BLOOM_MAX_N:
+                bloom_file = os.path.join(final, f"_bloom_{bloom_col}.npz")
+                IntBloom.build(ids).save(bloom_file)
+                # min/max range travels with the bloom: readers mask a
+                # probe set to the run's range BEFORE the bloom probe, so
+                # a million out-of-range keys cannot false-positive the
+                # run into being read (ids are often arrival-ordered, so
+                # range alone prunes most old runs)
+                metrics["bloom"] = {
+                    "col": bloom_col,
+                    "file": os.path.relpath(bloom_file, self.path),
+                    "n": int(len(ids)),
+                    "idmin": int(ids.min()) if len(ids) else 0,
+                    "idmax": int(ids.max()) if len(ids) else -1,
+                }
         info = SnapshotInfo(
             snapshot_id=sid,
             parent_id=prev["snapshot_id"] if prev else None,
             tick=tick,
             row_count=row_count,
-            metrics=metrics or {},
+            metrics=metrics,
             lineage=lineage,
             wall_clock=time.time() - t0,
         )

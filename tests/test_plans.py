@@ -861,3 +861,63 @@ def test_incremental_components_crash_resume(spark, tmp_path):
     crash.add_pairs(batch(2), tick=2)
     assert len(crash.nodes_table.manifest()) == n_nodes
     assert {r.doc_id: r.component_id for r in crash.labels(spark).collect()} == want
+
+
+def test_incremental_components_bloom_pruning(spark, tmp_path):
+    """Round-6 O(batch) endpoint resolve: nodes runs carry Bloom sidecars
+    and labels(for_ids=...) must (a) PRUNE runs that provably contain no
+    requested id and (b) return exactly the full labels restricted to the
+    ids — pruning is an optimization, never a semantic change."""
+    import os
+
+    import pandas as pd
+
+    from cinescrapers_spark.plans.incremental_cc import IncrementalComponents
+
+    idx = IncrementalComponents(str(tmp_path / "cc_bloom"))
+    # two batches over disjoint id ranges -> two runs with disjoint blooms
+    idx.add_pairs(
+        spark.createDataFrame(
+            pd.DataFrame([(1, 2), (3, 4)], columns=["doc_a", "doc_b"])
+        ),
+        tick=1,
+    )
+    idx.add_pairs(
+        spark.createDataFrame(
+            pd.DataFrame([(1001, 1002), (1003, 1004)], columns=["doc_a", "doc_b"])
+        ),
+        tick=2,
+    )
+    entries = idx._live_entries(idx.nodes_table, 10**9)
+    assert len(entries) == 2
+    for e in entries:
+        b = (e.get("metrics") or {}).get("bloom")
+        assert b, "every nodes run must carry a bloom sidecar"
+        assert os.path.exists(os.path.join(idx.nodes_table.path, b["file"]))
+
+    # ids only from batch 2 -> run 1 must be pruned (bloom has no false
+    # negatives, and these ranges cannot collide at this fpp)
+    ids2 = spark.createDataFrame(pd.DataFrame({"doc_id": [1001, 1003]}))
+    pruned = idx._prune_by_bloom(spark, entries, ids2)
+    assert [e["snapshot_id"] for e in pruned] == [entries[1]["snapshot_id"]]
+
+    # restricted lookup == full lookup filtered, for every subset shape
+    full = {r.doc_id: r.component_id for r in idx.labels(spark).collect()}
+    for ids in ([1, 1003], [2, 4], [1002, 1004], [999], []):
+        ids_df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")}),
+            schema="doc_id long",
+        )
+        got = {
+            r.doc_id: r.component_id
+            for r in idx.labels(spark, for_ids=ids_df).collect()
+        }
+        assert got == {i: full[i] for i in ids if i in full}, ids
+
+    # cross-run merge through a restricted lookup stays exact
+    idx.add_pairs(
+        spark.createDataFrame(pd.DataFrame([(2, 1001)], columns=["doc_a", "doc_b"])),
+        tick=3,
+    )
+    got = {r.doc_id: r.component_id for r in idx.labels(spark).collect()}
+    assert got[1001] == got[1] == got[2] == 1

@@ -371,10 +371,20 @@ def q_dedup_minhash_lsh_grouped(spark: SparkSession, sf: str) -> DataFrame:
     boilerplate corpora where exact-dup clusters dominate (template pages,
     mirrored sites), which is the common-crawl regime the 100 TB target
     implies. Both plans stay registered; pick by corpus shape."""
-    docs = load(spark, sf, "documents", spread=True).select(
-        "doc_id", "source", _tokens(F.col("text")).alias("toks")
+    # text IS NOT NULL + coalesce: the membership join below keys on the
+    # COMPUTED gkey; a nullable key makes the optimizer infer
+    # isnotnull(<whole tokenize+sort expression>) and push it below the
+    # spread exchange (the q_dedup_simhash_band pathology — the heavy
+    # expression would run twice, once single-threaded). A null text never
+    # produced a joinable gkey, so the pair set is unchanged.
+    docs = (
+        load(spark, sf, "documents", spread=True)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
     )
-    keyed = docs.withColumn("gkey", F.array_sort("toks"))
+    keyed = docs.withColumn(
+        "gkey", F.coalesce(F.array_sort("toks"), F.array())
+    )
     groups = keyed.groupBy("source", "gkey").agg(
         F.min(F.col("doc_id")).alias("rep_doc_id"),
         F.count("*").alias("gsize"),
@@ -396,9 +406,17 @@ def q_dedup_minhash_lsh_grouped(spark: SparkSession, sf: str) -> DataFrame:
     tb = reps.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("double")
     union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    # same exact size-ratio prune as the ungrouped plan: J ≥ θ forces
+    # min/max token-count ratio ≥ θ' (θ' = 0.79994 < the round(·,4) ≥ 0.8
+    # boundary), integer math, no pair the jaccard filter keeps is dropped
+    ratio_ok = (
+        F.least(F.size("toks_a"), F.size("toks_b")).cast("long") * 50000
+        >= F.greatest(F.size("toks_a"), F.size("toks_b")).cast("long") * 39997
+    )
     rep_pairs = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .filter(ratio_ok)
         .select(
             "source",
             F.col("doc_a").alias("rep_a"),
@@ -503,51 +521,130 @@ SIMHASH_MAX_HAMMING = 3
 
 def q_dedup_simhash_band(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 3 — the hamming>0 generalization
-    of q_dedup_simhash: the 64-bit fingerprint splits into 4×16-bit bands;
-    a pair within hamming 3 must agree on at least one full band
-    (pigeonhole), so candidates come from per-band bucket joins (shuffle =
-    rows × 4, never O(n²)) and an exact bit_count(xor) filter verifies.
-    Complete for hamming ≤ 3 by construction; pytest checks against the
-    brute-force hamming pairs. Rows-only (bit-level ops; no SQL oracle)."""
-    docs = load(spark, sf, "documents", spread=True).select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
+    of q_dedup_simhash: candidates from banded bucket joins, exact
+    bit_count(xor) filter verifies. Complete for hamming ≤ 3 by
+    construction; pytest checks against the brute-force hamming pairs.
+    Rows-only (bit-level ops; no SQL oracle).
+
+    Round 6 banding (same output, collision-proof buckets): 4×16-bit
+    bands put two RANDOM fingerprints in the same bucket with p = 4/2¹⁶ —
+    a birthday blowup of ~n²/2¹⁴ candidate pairs (measured 50 s at sf1.0:
+    50k docs → ~76M candidates, all junk). The classic block-permutation
+    scheme (Manku et al.) keys on TRIPLES of 6 blocks instead: any pair
+    within hamming 3 leaves ≥ 3 of the 6 blocks intact (pigeonhole), so
+    keying every C(6,3) = 20 block-triple (~32 intact bits per key) is
+    still complete, while random collisions drop to ~n²·20/2³². 5× the
+    band rows, ~2000× fewer junk candidates; the exact verify filter is
+    unchanged, so the pair set is identical. Measured 49.7 s → see
+    OPTIMIZATION_r06.md."""
+    import itertools
+
+    # text IS NOT NULL up front (pushed to the parquet scan) + coalesce
+    # makes the simhash key NON-NULLABLE — otherwise the optimizer infers
+    # isnotnull(<whole simhash expression>) from the join keys below and
+    # pushes it BELOW the spread repartition: the 64-wide fold would run
+    # TWICE per side, once single-threaded before the exchange (measured
+    # 44 s for the self-join alone at sf1.0; same pair set — a null-text
+    # doc has a null fingerprint and never joined anyway)
+    docs = (
+        load(spark, sf, "documents", spread=True)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens(F.col("text")).alias("toks"))
     )
-    sims = docs.select("doc_id", simhash64(F.col("toks")).alias("simhash"))
-    bands = sims.select(
+    sims = docs.select(
         "doc_id",
+        F.coalesce(simhash64(F.col("toks")), F.lit(0)).alias("simhash"),
+    )
+    # 6 blocks: 4×11 bits + 2×10 bits, offsets over the 64-bit fingerprint
+    widths = [11, 11, 11, 11, 10, 10]
+    offs = [0, 11, 22, 33, 44, 54]
+
+    def blk(j):
+        return F.shiftright(F.col("simhash"), offs[j]).bitwiseAND(
+            F.lit((1 << widths[j]) - 1)
+        )
+
+    combos = list(itertools.combinations(range(6), 3))
+    reps = sims.select("simhash").distinct()
+    bands = reps.select(
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_val"),
+                        F.lit(ci).alias("band_id"),
+                        (
+                            blk(i)
+                            .bitwiseOR(F.shiftleft(blk(j), 16))
+                            .bitwiseOR(F.shiftleft(blk(k), 32))
+                        ).alias("band_val"),
                     )
-                    for b in range(SIMHASH_BANDS)
+                    for ci, (i, j, k) in enumerate(combos)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    ).select("simhash", "band.band_id", "band.band_val")
+    # IDENTICAL-FINGERPRINT COLLAPSE (the decisive move on a clustered
+    # corpus): a 2,525-doc identical-fingerprint cluster makes every
+    # banded self-join over DOCS enumerate its ~3.2M pairs once per
+    # matching band — ~20× the output volume through the join and the
+    # dedup (measured 50 s at sf1.0 either banding). Distinct
+    # fingerprints are banded instead (each cluster weighs 1), and the
+    # output pairs are enumerated exactly once by output-sized hash
+    # joins: within-cluster pairs from a simhash self-equi-join
+    # (hamming 0), cross-cluster pairs from the rep-pair set expanded
+    # through two membership joins (hamming = the reps' hamming).
     a = bands.alias("a")
     b = bands.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            F.col("a.simhash").alias("s_a"), F.col("b.simhash").alias("s_b")
         )
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["s_a", "s_b"])
+        .filter(ham <= SIMHASH_MAX_HAMMING)
     )
+    docs_sims = sims.select("doc_id", "simhash")
+    within = (
+        docs_sims.alias("x")
+        .join(
+            docs_sims.alias("y"),
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    cross = (
+        rep_pairs.withColumn("hamming", ham)
+        .join(
+            docs_sims.select(
+                F.col("simhash").alias("s_a"), F.col("doc_id").alias("da")
+            ),
+            "s_a",
+        )
+        .join(
+            docs_sims.select(
+                F.col("simhash").alias("s_b"), F.col("doc_id").alias("db")
+            ),
+            "s_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross)
 
 
 CC_MAX_ITERS = 20  # label propagation rounds; near-dup clusters are shallow

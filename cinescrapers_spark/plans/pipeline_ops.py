@@ -86,14 +86,31 @@ def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     shingle transform: shingles read toks via element_at, and binding toks
     to a column keeps CollapseProject from inlining the split per element
     (O(n) split re-evaluations otherwise).
-    """
+
+    Round 6: the pairwise intersection runs over xxhash64 SHINGLE HASHES
+    instead of the ~30-char shingle strings (8 B/element through the
+    self-join's shuffle and a long-compare intersect — the
+    ``doc_token_table`` trick; |∩| changes only on a 64-bit collision
+    inside one pair's union, p ≈ |union|²/2⁶⁴ < 1e-15). An exact
+    size-ratio prune (min/max ≥ 0.49994, integer math, strictly below the
+    round(·,4) ≥ 0.5 boundary) skips the intersect for pairs that cannot
+    clear θ, and the shingle pipeline is spread (guide §2.5)."""
     docs = (
-        load(spark, sf, "documents")
+        load(spark, sf, "documents", spread=True)
         .select("doc_id", "source", _ordered_tokens(F.col("text")).alias("toks"))
         .select("doc_id", "source", shingles(F.col("toks")).alias("sh"))
+        .select(
+            "doc_id",
+            "source",
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
+        )
         .filter(F.size("sh") >= 1)
     )
     a, b = docs.alias("a"), docs.alias("b")
+    ratio_ok = (
+        F.least(F.size("a.sh"), F.size("b.sh")).cast("long") * 100000
+        >= F.greatest(F.size("a.sh"), F.size("b.sh")).cast("long") * 49994
+    )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
     union = (F.size("a.sh") + F.size("b.sh")).cast("double") - inter
     jac = inter / union
@@ -103,6 +120,7 @@ def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(ratio_ok)
         .select(
             F.col("a.source").alias("source"),
             F.col("a.doc_id").alias("doc_a"),
@@ -120,13 +138,24 @@ def q_dedup_embed_cosine(spark: SparkSession, sf: str) -> DataFrame:
     q_ann_ivf) so the self-join is per-block quadratic, never corpus-wide.
     Double-cast before any arithmetic keeps the fold bit-identical to the
     DuckDB oracle's list_cosine_similarity.
-    """
-    from cinescrapers_spark.plans.similarity import _as_double, cosine
 
-    emb = load(spark, sf, "embeddings").select(
+    Round 6: each side's L2 norm is computed once per ROW before the
+    blocked self-join instead of per pair inside ``cosine`` — the pair
+    loop does one array pass (the dot) instead of three, bit-identical
+    (same fold, same multiply, same >0 guard); the vector scan is spread
+    (guide §2.5).
+    """
+    from cinescrapers_spark.plans.similarity import _as_double, dot, l2norm
+
+    emb = load(spark, sf, "embeddings", spread=True).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
+    emb = emb.select("vec_id", "label", "v", l2norm(F.col("v")).alias("nn"))
     a, b = emb.alias("a"), emb.alias("b")
+    den = F.col("a.nn") * F.col("b.nn")
+    cos = F.when(den > 0, dot(F.col("a.v"), F.col("b.v")) / den).otherwise(
+        F.lit(0.0)
+    )
     return (
         a.join(
             b,
@@ -137,7 +166,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.label").alias("label"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+            F.round(cos, 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= EMBED_NEAR_THRESHOLD)
     )
@@ -186,7 +215,7 @@ def doc_winnow(spark: SparkSession, sf: str) -> DataFrame:
     makes Catalyst re-evaluate it per element (the naive single-expression
     form was measured ~50× slower at sf0.01).
     """
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents", spread=True)
     return (
         docs.select(
             "doc_id", "source", _ordered_tokens(F.col("text")).alias("toks")
@@ -217,7 +246,7 @@ BPE_PATTERN = r" ?(?:'(?:s|t|re|ve|ll|d|m)|[a-z]+|[0-9]+|[^a-z0-9\s']+)"
 
 def q_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
     """Token counts: whitespace split vs the BPE-ish pretokenizer regex."""
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents", spread=True)
     low = F.lower(F.col("text"))
     ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
     bpe = F.size(F.regexp_extract_all(low, F.lit(BPE_PATTERN), F.lit(0)))

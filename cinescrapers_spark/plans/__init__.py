@@ -153,6 +153,34 @@ def _effective_scan_parallelism(path: str) -> int:
 _SCAN_PAR_CACHE: dict[str, int] = {}
 
 
+def table_num_rows(sf_dir: str, table: str) -> int:
+    """Row count of one testdata table from the parquet FOOTER (driver-side
+    metadata peek, same class of read as ``_effective_scan_parallelism`` —
+    never data or results; memoized per path). Used to pick between two
+    equivalent plan shapes whose fixed overheads amortize at different
+    scales (e.g. an Arrow python stage vs a JVM expression). Unknown
+    layout returns a large count: at unknown (production) scale the
+    big-data shape is the right default."""
+    import glob
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    if path in _NUM_ROWS_CACHE:
+        return _NUM_ROWS_CACHE[path]
+    try:
+        import pyarrow.parquet as pq
+
+        files = glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        n = 10**12
+    _NUM_ROWS_CACHE[path] = n
+    return n
+
+
+_NUM_ROWS_CACHE: dict[str, int] = {}
+
+
 def load(
     spark: SparkSession, sf_dir: str, table: str, spread: bool = False
 ) -> DataFrame:

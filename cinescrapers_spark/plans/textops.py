@@ -5,10 +5,12 @@ fingerprints, postcode/regex extraction, title normalization.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cinescrapers_spark.plans import load
+from cinescrapers_spark.plans import load, table_num_rows
 from cinescrapers_spark.functions.text import (
     UK_POSTCODE_RE,
     lang_id_col,
@@ -20,6 +22,18 @@ from cinescrapers_spark.functions.titles import normalize_title_udf
 _EN_STOPS = ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for")
 
 
+# Below this many documents the mapInArrow python stage's FIXED cost
+# (worker fork + Arrow serialization setup, ~0.3 s measured) exceeds what
+# its faster per-row kernels save, and the plain JVM expression wins
+# (same-host A/B: 5k docs/sf0.1 JVM 0.31 s vs Arrow 0.54 s; 50k docs/sf1.0
+# Arrow 0.58 s vs JVM 0.95 s — linear fit crosses over ~2e4 docs).
+# Env-overridable; unknown layouts count as huge, so production defaults
+# to the Arrow shape.
+TOKEN_ARROW_MIN_ROWS = int(
+    os.environ.get("SPARK_GRAFT_TOKEN_ARROW_MIN_ROWS", "20000")
+)
+
+
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """BPE-ish token count (``token_count_col`` semantics), round-6 shape:
     one ``mapInArrow`` stage running the two character-class counts
@@ -28,7 +42,15 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     native code). The char classes are written out explicitly
     (``\\t\\n\\x0b\\f\\r `` = Java's ``\\s``) so the counts are identical;
     measured 0.96 s → 0.54 s at sf1.0 with byte-identical output, and the
-    scan is spread when the file layout caps it at one task (§2.5)."""
+    scan is spread when the file layout caps it at one task (§2.5).
+    Scale-adaptive (the round brief's "must hold at both sizes"): below
+    ``TOKEN_ARROW_MIN_ROWS`` documents the python stage's fixed cost
+    dominates and the identical-output JVM expression is used instead."""
+    if table_num_rows(sf, "documents") < TOKEN_ARROW_MIN_ROWS:
+        return load(spark, sf, "documents").select(
+            "doc_id", token_count_col(F.col("text")).alias("n_tokens"), "n_chars"
+        )
+
     import pyarrow as pa
 
     def run(batches):

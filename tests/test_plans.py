@@ -921,3 +921,24 @@ def test_incremental_components_bloom_pruning(spark, tmp_path):
     )
     got = {r.doc_id: r.component_id for r in idx.labels(spark).collect()}
     assert got[1001] == got[1] == got[2] == 1
+
+
+def test_token_count_paths_equivalent_and_scale_adaptive(spark, sf_dir, monkeypatch):
+    """q_token_count picks between a JVM expression and a mapInArrow stage
+    by table row count (footer peek). Both shapes must produce identical
+    rows and schema, and the dispatch must flip exactly at the threshold:
+    below it no python stage (the fixed Arrow-worker cost dominates small
+    inputs), at/above it the Arrow shape (faster per row at scale)."""
+    import cinescrapers_spark.plans.textops as T
+
+    monkeypatch.setattr(T, "TOKEN_ARROW_MIN_ROWS", 10**12)
+    jvm = T.q_token_count(spark, sf_dir)
+    assert "MapInArrow" not in jvm._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.setattr(T, "TOKEN_ARROW_MIN_ROWS", 0)
+    arrow = T.q_token_count(spark, sf_dir)
+    assert "MapInArrow" in arrow._jdf.queryExecution().executedPlan().toString()
+
+    assert jvm.schema == arrow.schema
+    assert jvm.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(jvm).count() == 0
